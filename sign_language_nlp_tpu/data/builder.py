@@ -65,8 +65,20 @@ class DatasetBuilder:
               batch_first: bool = True,
               composition_strategy: str = "as_words",
               reuse_transient: bool = False,
+              use_native: bool = False,
               **kwargs) -> dict:
         log("Loading dataset...")
+
+        if use_native:
+            from ..native import build_corpus_native
+
+            built = build_corpus_native(dataset_dir, fields,
+                                        samples_min_freq,
+                                        composition_strategy)
+            if built is not None:
+                src, tgt, files = built
+                return self._package(src, tgt, files)
+            log("native loader unavailable; using Python path")
 
         if reuse_transient:
             name = get_hash({
@@ -134,6 +146,9 @@ class DatasetBuilder:
                 tgt_sequences.append(str(row[self.TGT_KEY]).split())
                 file_names.append(row[self.FILE_KEY])
 
+        return self._package(src_sequences, tgt_sequences, file_names)
+
+    def _package(self, src_sequences, tgt_sequences, file_names) -> dict:
         src_vocab = Vocab.from_sequences(src_sequences)
         tgt_vocab = Vocab.from_sequences(tgt_sequences)
         file_vocab = Vocab(Counter(file_names))

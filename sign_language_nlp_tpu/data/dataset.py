@@ -85,7 +85,7 @@ class AslDataset:
         """Fresh build from an ASL-Phono directory (reference
         asl_dataset.py:66-71 construction mode)."""
         known = {"dataset_dir", "fields", "samples_min_freq",
-                 "composition_strategy", "reuse_transient"}
+                 "composition_strategy", "reuse_transient", "use_native"}
         builder_args = {k: v for k, v in dataset_args.items() if k in known}
         built = DatasetBuilder().build(batch_first=batch_first,
                                        **builder_args)

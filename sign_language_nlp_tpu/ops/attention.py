@@ -1,0 +1,80 @@
+"""Scaled-dot-product multi-head attention.
+
+The single attention primitive both model families route through
+(reference sites: `nn.Transformer`'s MHA at model/transformer.py:40-45
+and Bahdanau attention at model/base/encoder_decoder_attn_bkp.py:288-327
+— the latter has its own fused op in `ops/bahdanau` semantics inside
+models/encoder_decoder.py).
+
+Two execution paths:
+  * `xla` — einsum formulation; XLA fuses bias+softmax+matmul well and
+    maps the two contractions onto the MXU.
+  * `pallas` — fused flash-style kernel (ops/pallas_attention.py) for
+    TPU, used when shapes meet its tiling constraints.
+
+Sequence lengths in this workload are tens-to-hundreds of tokens
+(SURVEY.md §5 long-context note), so attention is small; the win is in
+batching many (population × batch) instances, not in sequence tiling.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # finite mask value: keeps fully-masked rows NaN-free
+
+
+def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         bias: jax.Array | None = None,
+                         *,
+                         num_heads: int,
+                         dropout_rate=0.0,
+                         dropout_rng: jax.Array | None = None,
+                         deterministic: bool = True,
+                         backend: str = "xla") -> jax.Array:
+    """Attention over already-projected q/k/v.
+
+    q: [B, Sq, E], k/v: [B, Sk, E], bias: broadcastable to [B, H, Sq, Sk]
+    (additive, -inf style). Returns [B, Sq, E].
+    """
+    B, Sq, E = q.shape
+    Sk = k.shape[1]
+    assert E % num_heads == 0, "embed dim must divide num_heads"
+    head_dim = E // num_heads
+
+    if backend == "pallas" and (deterministic or dropout_rng is None):
+        from .pallas_attention import multi_head_attention_pallas
+
+        return multi_head_attention_pallas(q, k, v, bias,
+                                           num_heads=num_heads)
+
+    qh = q.reshape(B, Sq, num_heads, head_dim)
+    kh = k.reshape(B, Sk, num_heads, head_dim)
+    vh = v.reshape(B, Sk, num_heads, head_dim)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=q.dtype))
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias
+    weights = jax.nn.softmax(scores, axis=-1)
+    if dropout_rng is not None and not deterministic:
+        from .dropout import dropout as _dropout
+
+        weights = _dropout(weights, dropout_rate, dropout_rng,
+                           deterministic=False)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, Sq, E).astype(q.dtype)
+
+
+def causal_bias(seq_len: int, dtype=jnp.float32) -> jax.Array:
+    """[1, 1, S, S] additive causal bias (upper triangle masked)."""
+    idx = jnp.arange(seq_len)
+    mask = idx[None, :] > idx[:, None]  # True above diagonal → masked
+    return jnp.where(mask, NEG_INF, 0.0).astype(dtype)[None, None, :, :]
+
+
+def padding_bias(valid: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """valid: [B, Sk] boolean (True = real token) → [B, 1, 1, Sk] bias."""
+    return jnp.where(valid, 0.0, NEG_INF).astype(dtype)[:, None, None, :]

@@ -1,0 +1,242 @@
+"""Experiment orchestration: one config → dataset build → balanced
+splits → grid search → scored test + profile.
+
+The L2 layer (SURVEY.md §1): mirrors the reference's `run` /
+`tune_hyperparams` / `test_model` flow and artifact contract
+(reference main.py:12-128) on top of the TPU-native stack. Per phase it
+writes the same artifact set (SURVEY.md §5 'output-fidelity contract'):
+  config.yaml, <phase>_grid_params.csv, <phase>_results.csv,
+  <phase>_output.json, test_output.json, test_profile_table.txt,
+  test_profile.json.
+"""
+from __future__ import annotations
+
+import random
+from typing import Any, Optional
+
+import numpy as np
+
+from .data import AslDataset, balance_dataset
+from .parallel import build_mesh
+from .profiling import create_profiler, save_profile
+from .profiling.profiler import cost_analysis_of
+from .search import (GridSearchDriver, ScoringWrapper, build_param_grid,
+                     build_scoring, save_param_grid)
+from .training.engine import TrainConfig
+from .utils import log, save_json
+
+
+def setup_seed(seed: int, **kwargs) -> None:
+    """Seed host RNGs (reference helper.py:20-23; JAX keys are derived
+    from the seed explicitly throughout the engine)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def prepare_device(cuda: bool = False):
+    """Report the compute platform (reference helper.py:26-32 decides
+    cuda-vs-cpu; here the TPU is used when present). The `cuda` flag is
+    accepted for config parity and ignored."""
+    import jax
+
+    dev = jax.devices()[0]
+    log(f"Compute device: {dev}")
+    return dev
+
+
+def should_balance_dataset(args: dict) -> bool:
+    ds = args.get("dataset_args") or {}
+    return ds.get("balance_dataset") is True
+
+
+def save_cv_results(cv_results: dict, phase: str, workdir: str,
+                    **kwargs) -> None:
+    """<workdir>/<phase>_results.csv (reference helper.py:429-433)."""
+    import pandas as pd
+
+    log("Saving CV results...")
+    df = pd.DataFrame(cv_results)
+    df.to_csv(f"{workdir}/{phase}_results.csv")
+
+
+def save_output(output: dict, phase: str, workdir: str, **kwargs) -> None:
+    """<workdir>/<phase>_output.json (reference helper.py:436-439)."""
+    log("Saving output...")
+    log(output)
+    save_json(output, f"{workdir}/{phase}_output.json")
+
+
+def _train_config_from_args(args: dict) -> TrainConfig:
+    scoring = args.get("scoring") or ["accuracy"]
+    if not isinstance(scoring, list):
+        scoring = [scoring]
+    return TrainConfig(
+        optimizer=args.get("optimizer") or "torch.optim.SGD",
+        optimizer_args=args.get("optimizer_args") or {},
+        criterion=args.get("criterion") or "torch.nn.CrossEntropyLoss",
+        criterion_args=args.get("criterion_args") or {},
+        batch_size=int(args["batch_size"]),
+        max_epochs=int(args["max_epochs"]),
+        gradient_clipping=args.get("gradient_clipping"),
+        lr_scheduler=args.get("lr_scheduler"),
+        early_stopping=args.get("early_stopping"),
+        scoring=tuple(scoring),
+        seed=int(args["seed"]),
+        verbose=int(args.get("verbose") or 1),
+    )
+
+
+def build_driver(args: dict, dataset: AslDataset,
+                 mesh=None) -> GridSearchDriver:
+    model_args = dict(args.get("model_args") or {})
+    return GridSearchDriver(
+        model_name=args["model"],
+        src_vocab_size=len(dataset.src_vocab),
+        tgt_vocab_size=len(dataset.tgt_vocab),
+        src_pad_idx=dataset.src_vocab.pad_index,
+        tgt_pad_idx=dataset.tgt_vocab.pad_index,
+        base_model_args=model_args,
+        train_config=_train_config_from_args(args),
+        cv=int(args.get("cv") or 5),
+        default_lr=args.get("lr"),
+        mesh=mesh,
+        max_population=int((args.get("mesh_args") or {})
+                           .get("max_population", 32)),
+        workdir=args.get("workdir"),
+        compat_args=args.get("compat_args") or {},
+        verbose=int(args.get("verbose") or 1),
+    )
+
+
+def run(args: dict) -> dict:
+    """The full experiment (reference main.py:12-59)."""
+    seed = int(args["seed"])
+    setup_seed(seed)
+    prepare_device(args.get("cuda", False))
+
+    if args.get("debug"):
+        args.setdefault("dataset_args", {})["reuse_transient"] = True
+
+    dataset = AslDataset.build(dataset_args=args["dataset_args"],
+                               batch_first=True).stoi()
+    if args.get("debug"):
+        dataset = dataset.truncated(int(args.get("cv") or 5) * 10)
+
+    if should_balance_dataset(args):
+        dataset = balance_dataset(dataset=dataset, seed=seed)
+    log(f"{len(dataset)} entries of data")
+
+    mesh = build_mesh(args.get("mesh_args"))
+    if mesh is not None:
+        log(f"Mesh: {mesh}")
+
+    test_data, train_data = dataset.split(lengths=args["test_size"],
+                                          indices_only=False, seed=seed)
+    log(f"> Train data: {len(train_data)} entries")
+    log(f"> Test data: {len(test_data)} entries")
+
+    driver = build_driver(args, dataset, mesh=mesh)
+    result = tune_hyperparams(driver, train_data, args)
+    test_output = test_model(driver, result, test_data, args)
+    return {"search": result, "test": test_output}
+
+
+def tune_hyperparams(driver: GridSearchDriver, train_data: AslDataset,
+                     args: dict):
+    """Grid-search phase (reference main.py:62-95)."""
+    log("\n==================== TUNING HYPERPARAMETERS "
+        "====================\n")
+    phase = "grid_search"
+    workdir = args.get("workdir") or "."
+
+    grid = build_param_grid(args.get("grid_args") or {})
+    save_param_grid(grid, phase=phase, workdir=workdir)
+
+    scoring_names = args.get("scoring") or ["accuracy"]
+    if not isinstance(scoring_names, list):
+        scoring_names = [scoring_names]
+    # GridSearchCV optimizes a single metric — the first configured one
+    # (reference build_scoring(..., allow_multiple=False), helper.py:154).
+    scorer = ScoringWrapper(scoring_names[0], labels=train_data.labels())
+
+    data = (train_data.tokens, train_data.lengths, train_data.labels_idx)
+    result = driver.search(data, train_data.labels_idx, grid, scorer,
+                           phase=phase)
+
+    gs_output = {
+        "best_score": float(result.best_score),
+        "best_params": result.best_params,
+        "best_index": int(result.best_index),
+        "scoring": repr(scorer),
+    }
+    save_output(gs_output, phase=phase, workdir=workdir)
+    save_cv_results(result.cv_results, phase=phase, workdir=workdir)
+
+    # Persist the refit best model (skorch Checkpoint analogue,
+    # reference helper.py:211-212).
+    from .training.checkpoint import save_checkpoint
+
+    save_checkpoint(workdir, result.best_model_params, {
+        "model": args["model"],
+        "best_params": result.best_params,
+        "src_vocab_size": driver.src_vocab_size,
+        "tgt_vocab_size": driver.tgt_vocab_size,
+    })
+    return result
+
+
+def test_model(driver: GridSearchDriver, result, test_data: AslDataset,
+               args: dict) -> dict:
+    """Held-out test phase + profile (reference main.py:98-123)."""
+    log("\n==================== TESTING MODEL ====================\n")
+    phase = "test"
+    workdir = args.get("workdir") or "."
+
+    scoring = args.get("scoring") or []
+    if not isinstance(scoring, list):
+        scoring = [scoring]
+    if "accuracy" not in scoring:
+        scoring = ["accuracy", *scoring]
+    scorers = build_scoring(scoring=scoring, labels=test_data.labels())
+
+    from .training.engine import PopulationTrainer
+
+    model = result.best_model
+    params = result.best_model_params
+    trainer = PopulationTrainer(model, test_data.tgt_vocab.pad_index,
+                                len(test_data.tgt_vocab),
+                                _train_config_from_args(args),
+                                mesh=None)
+    data = (test_data.tokens, test_data.lengths, test_data.labels_idx)
+    rows = [np.arange(len(test_data))]
+
+    log_probs, w = trainer.predict_log_probs(params, data, rows)
+    m = int(w[0].sum())
+    outputs = np.asarray(log_probs[0][:m])
+    y_true = np.asarray(test_data.labels_idx[:m])
+
+    test_output = {
+        f"test_{scorer.score}": scorer(outputs, y_true)
+        for scorer in scorers
+    }
+
+    # Profile the predict pass (reference main.py:116-117).
+    with create_profiler(workdir=workdir) as record:
+        trainer.predict_log_probs(params, data, rows)
+    record.add_cost(_predict_cost(model, params, test_data))
+    save_output(test_output, phase=phase, workdir=workdir)
+    save_profile(record, phase=phase, workdir=workdir)
+    return test_output
+
+
+def _predict_cost(model, params, test_data) -> dict:
+    """Static XLA cost of one full-test-set forward."""
+    import jax
+
+    single = jax.tree.map(lambda a: a[0], params)
+
+    def fwd(p, tokens, lengths, y):
+        return model.apply(p, tokens, lengths, y)
+
+    return cost_analysis_of(fwd, single, test_data.tokens,
+                            test_data.lengths, test_data.labels_idx)

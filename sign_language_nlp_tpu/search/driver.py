@@ -1,0 +1,296 @@
+"""The grid-search driver: (candidate × fold) cells → sharded
+population batches → cv_results + refit best.
+
+This is the TPU-native replacement for
+`GridSearchCV(estimator=NeuralNetClassifier, ...)` under
+`parallel_backend('dask')` (reference main.py:62-95, helper.py:108-180):
+
+  * candidates enumerate in sklearn ParameterGrid order; folds come
+    from StratifiedKFold(cv) (kfold.py); every (candidate × fold) is a
+    *cell*;
+  * cells whose candidates share parameter shapes (same embedding /
+    hidden / layers / heads — everything except `lr` and
+    `module__dropout`) are batched into one population and trained by
+    one compiled program, sharded over the mesh; lr and dropout ride
+    as per-cell traced vectors (SURVEY.md §7 phase 5);
+  * each cell is scored on its held-out fold with the grid's single
+    refit metric (the FIRST entry of `scoring`, matching the
+    reference's `build_scoring(..., allow_multiple=False)`,
+    helper.py:154);
+  * scoring uses each cell's FINAL params — skorch nets score with
+    their end-of-fit state, not the disk checkpoint (the reference's
+    LoadInitState resume is dead code, helper.py:214-216);
+  * a completed-cell manifest (`<workdir>/<phase>_manifest.json`) is
+    flushed after every population, so a preempted search resumes by
+    skipping finished cells — the replacement for Dask's task-level
+    resilience on preemptible TPUs (SURVEY.md §5 failure detection);
+  * `refit=True`: the best candidate retrains on the full training
+    split (one-cell population) and becomes the returned estimator.
+
+Timing note: fits inside one population share a single program, so
+per-cell `fit_time` is attributed proportionally to epochs run —
+aggregate wall-clock is exact, per-cell values are estimates.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from ..models.registry import build_model
+from ..training.engine import PopulationTrainer, TrainConfig, TrainTask
+from ..utils import exists, log, read_json, save_json
+from .grid import ParamGrid, candidate_to_nested
+from .kfold import stratified_kfold, train_valid_split
+from .scoring import ScoringWrapper
+
+# Candidate keys that vary *within* a population (traced per-cell):
+_VECTOR_KEYS = ("lr", "module__dropout")
+
+
+@dataclass
+class SearchResult:
+    cv_results: dict
+    best_index: int
+    best_score: float
+    best_params: dict
+    scoring: str
+    best_model: Any = None            # flax module of the refit model
+    best_model_params: Any = None     # population-of-1 params pytree
+    n_candidates: int = 0
+    n_folds: int = 0
+
+
+@dataclass
+class GridSearchDriver:
+    model_name: str
+    src_vocab_size: int
+    tgt_vocab_size: int
+    src_pad_idx: int
+    tgt_pad_idx: int
+    base_model_args: dict = field(default_factory=dict)
+    train_config: TrainConfig = field(default_factory=TrainConfig)
+    cv: int = 5
+    default_lr: Optional[float] = None
+    mesh: Any = None
+    max_population: int = 32
+    workdir: Optional[str] = None
+    compat_args: dict = field(default_factory=dict)
+    verbose: int = 1
+
+    # ------------------------------------------------------------------
+    def _shape_key(self, candidate: dict) -> tuple:
+        return tuple(sorted((k, v) for k, v in candidate.items()
+                            if k not in _VECTOR_KEYS))
+
+    def _model_for(self, candidate: dict):
+        nested = candidate_to_nested(candidate)
+        margs = dict(self.base_model_args)
+        margs.update({k: v for k, v in nested["model_args"].items()
+                      if k != "dropout"})
+        dropout = nested["model_args"].get(
+            "dropout", self.base_model_args.get("dropout", 0.0))
+        lr = candidate.get("lr", self.default_lr)
+        if lr is None:
+            raise ValueError("No learning rate: set `lr` in the grid or "
+                             "the top-level config")
+        model = build_model(self.model_name, self.src_vocab_size,
+                            self.tgt_vocab_size, self.src_pad_idx,
+                            self.tgt_pad_idx, model_args=margs,
+                            compat_args=self.compat_args)
+        return model, float(lr), float(dropout or 0.0), nested
+
+    def _trainer_for(self, model, nested_first: dict,
+                     mesh="inherit") -> PopulationTrainer:
+        cfg = self.train_config
+        opt_args = dict(cfg.optimizer_args)
+        opt_args.update(nested_first.get("optimizer_args", {}))
+        crit_args = dict(cfg.criterion_args)
+        crit_args.update(nested_first.get("criterion_args", {}))
+        cfg = TrainConfig(**{**cfg.__dict__,
+                             "optimizer_args": opt_args,
+                             "criterion_args": crit_args})
+        return PopulationTrainer(model, self.tgt_pad_idx,
+                                 self.tgt_vocab_size, cfg,
+                                 mesh=self.mesh if mesh == "inherit"
+                                 else mesh)
+
+    # ------------------------------------------------------------------
+    def _manifest_path(self, phase: str) -> Optional[str]:
+        if not self.workdir:
+            return None
+        return f"{self.workdir}/{phase}_manifest.json"
+
+    def _load_manifest(self, phase: str) -> dict:
+        path = self._manifest_path(phase)
+        if path and exists(path):
+            log(f"Resuming from manifest '{path}'...")
+            return read_json(path)
+        return {}
+
+    def _flush_manifest(self, phase: str, manifest: dict) -> None:
+        path = self._manifest_path(phase)
+        if path:
+            save_json(manifest, path)
+
+    # ------------------------------------------------------------------
+    def search(self, data, y: np.ndarray, grid: ParamGrid,
+               scoring: ScoringWrapper,
+               phase: str = "grid_search") -> SearchResult:
+        """data: (tokens, lengths, labels) corpus arrays restricted to the
+        training split; y: labels of that split (used for folding)."""
+        candidates = list(grid.candidates())
+        folds = stratified_kfold(y, self.cv)
+        n_cand, n_folds = len(candidates), len(folds)
+        log(f"Grid search: {n_cand} candidates x {n_folds} folds = "
+            f"{n_cand * n_folds} fits")
+
+        manifest = self._load_manifest(phase)
+
+        # Group cells by shape signature:
+        groups: dict = {}
+        for ci, cand in enumerate(candidates):
+            groups.setdefault(self._shape_key(cand), []).append(ci)
+
+        scores = np.full((n_cand, n_folds), np.nan)
+        fit_times = np.zeros((n_cand, n_folds))
+        score_times = np.zeros((n_cand, n_folds))
+
+        for key, cand_ids in groups.items():
+            cells = [(ci, fi) for ci in cand_ids for fi in range(n_folds)]
+            pending = [c for c in cells
+                       if f"{c[0]}:{c[1]}" not in manifest]
+            for c in cells:
+                mkey = f"{c[0]}:{c[1]}"
+                if mkey in manifest:
+                    rec = manifest[mkey]
+                    scores[c[0], c[1]] = rec["score"]
+                    fit_times[c[0], c[1]] = rec.get("fit_time", 0.0)
+                    score_times[c[0], c[1]] = rec.get("score_time", 0.0)
+            if not pending:
+                continue
+
+            model, _, _, nested_first = self._model_for(
+                candidates[cand_ids[0]])
+            trainer = self._trainer_for(model, nested_first)
+
+            for start in range(0, len(pending), self.max_population):
+                chunk = pending[start:start + self.max_population]
+                self._run_chunk(chunk, candidates, folds, data, trainer,
+                                scoring, scores, fit_times, score_times,
+                                manifest)
+                self._flush_manifest(phase, manifest)
+
+        return self._assemble_result(candidates, grid, scores, fit_times,
+                                     score_times, scoring, data, y)
+
+    # ------------------------------------------------------------------
+    def _run_chunk(self, chunk, candidates, folds, data, trainer, scoring,
+                   scores, fit_times, score_times, manifest) -> None:
+        y_all = np.asarray(data[2])
+        # Pad the population to a multiple of the mesh size (padded cells
+        # duplicate the last cell and are ignored when recording).
+        n_real = len(chunk)
+        if self.mesh is not None:
+            d = self.mesh.devices.size
+            pad_to = ((n_real + d - 1) // d) * d
+            chunk = list(chunk) + [chunk[-1]] * (pad_to - n_real)
+        train_rows, valid_rows, lrs, drops = [], [], [], []
+        for ci, fi in chunk:
+            fold_train, _ = folds[fi]
+            _, lr, dropout, _ = self._model_for(candidates[ci])
+            # skorch-internal stratified 80/20 monitor split per fit:
+            inner_tr, inner_va = train_valid_split(y_all[fold_train],
+                                                   n_splits=5)
+            train_rows.append(fold_train[inner_tr])
+            valid_rows.append(fold_train[inner_va])
+            lrs.append(lr)
+            drops.append(dropout)
+
+        task = TrainTask(train_rows=train_rows, valid_rows=valid_rows,
+                         lr=np.asarray(lrs, np.float32),
+                         dropout=np.asarray(drops, np.float32),
+                         cell_ids=[f"{ci}:{fi}" for ci, fi in chunk])
+        t0 = time.time()
+        out = trainer.fit(data, task)
+        fit_wall = time.time() - t0
+
+        epochs = np.maximum(np.asarray(out["epochs_run"], np.float64), 1.0)
+        fit_share = fit_wall * epochs / epochs.sum()
+
+        t0 = time.time()
+        test_rows = [folds[fi][1] for _, fi in chunk]
+        log_probs, w = trainer.predict_log_probs(out["params"], data,
+                                                 test_rows)
+        score_wall = time.time() - t0
+        for k, (ci, fi) in enumerate(chunk[:n_real]):
+            m = int(w[k].sum())
+            s = scoring(np.asarray(log_probs[k][:m]),
+                        y_all[test_rows[k][:m]])
+            scores[ci, fi] = s
+            fit_times[ci, fi] = fit_share[k]
+            score_times[ci, fi] = score_wall / len(chunk)
+            manifest[f"{ci}:{fi}"] = {
+                "score": float(s), "fit_time": float(fit_share[k]),
+                "score_time": float(score_wall / len(chunk)),
+                "epochs": int(epochs[k]),
+            }
+        if self.verbose:
+            log(f"  population of {len(chunk)} cells: fit {fit_wall:.1f}s, "
+                f"scores [{np.nanmin(scores):.4f}, {np.nanmax(scores):.4f}]")
+
+    # ------------------------------------------------------------------
+    def _assemble_result(self, candidates, grid, scores, fit_times,
+                         score_times, scoring, data, y) -> SearchResult:
+        n_cand, n_folds = scores.shape
+        sign = 1.0 if scoring.greater_is_better else -1.0
+        mean = scores.mean(axis=1)
+        std = scores.std(axis=1)
+        order = np.argsort(-sign * mean, kind="stable")
+        rank = np.empty(n_cand, dtype=np.int32)
+        # sklearn rank_test_score: rankdata(-mean, method='min')
+        sorted_means = -sign * mean
+        rank = np.array(
+            [1 + int(np.sum(sorted_means < sorted_means[i]))
+             for i in range(n_cand)], dtype=np.int32)
+
+        cv_results: dict = {
+            "mean_fit_time": fit_times.mean(axis=1),
+            "std_fit_time": fit_times.std(axis=1),
+            "mean_score_time": score_times.mean(axis=1),
+            "std_score_time": score_times.std(axis=1),
+        }
+        param_names = sorted(grid.grid.keys())
+        for name in param_names:
+            cv_results[f"param_{name}"] = [c.get(name) for c in candidates]
+        cv_results["params"] = [dict(c) for c in candidates]
+        for fi in range(n_folds):
+            cv_results[f"split{fi}_test_score"] = scores[:, fi]
+        cv_results["mean_test_score"] = mean
+        cv_results["std_test_score"] = std
+        cv_results["rank_test_score"] = rank
+
+        best_index = int(order[0])
+        best_params = dict(candidates[best_index])
+        log(f"Best: index={best_index} score={mean[best_index]:.4f} "
+            f"params={best_params}")
+
+        # ---- refit on the full training split (GridSearchCV refit=True) --
+        # A single-cell population needs no mesh sharding.
+        model, lr, dropout, nested = self._model_for(candidates[best_index])
+        trainer = self._trainer_for(model, nested, mesh=None)
+        inner_tr, inner_va = train_valid_split(np.asarray(y), n_splits=5)
+        task = TrainTask(train_rows=[inner_tr], valid_rows=[inner_va],
+                         lr=np.asarray([lr], np.float32),
+                         dropout=np.asarray([dropout], np.float32),
+                         cell_ids=["refit"])
+        out = trainer.fit(data, task)
+
+        return SearchResult(cv_results=cv_results, best_index=best_index,
+                            best_score=float(mean[best_index]),
+                            best_params=best_params, scoring=scoring.score,
+                            best_model=model,
+                            best_model_params=out["params"],
+                            n_candidates=n_cand, n_folds=n_folds)

@@ -1,0 +1,432 @@
+"""The population trainer — a skorch-replacement training engine whose
+unit of work is a *population* of independent fits.
+
+Reference behavior being replaced (SURVEY.md §3.2): a skorch
+`NeuralNetClassifier.fit` per (candidate × fold) — internal
+stratified train/valid split, per-epoch batch loop, CE loss over
+log-prob outputs, SGD+momentum, gradient-norm clip, per-epoch
+train/valid metric scoring, ReduceLROnPlateau, early stopping, and a
+best-valid-loss checkpoint — farmed one-fit-per-Dask-task
+(reference main.py:77). Here the whole population trains in ONE jitted
+program:
+
+  * params / optimizer state / monitor state carry a leading population
+    axis P, built by `jax.vmap`-ing init and the per-cell step;
+  * each cell has its own row-index matrix into the shared corpus
+    arrays — per-cell batches are gathers, so fold membership and
+    resampled (balanced) datasets are just integer arrays;
+  * per-cell hyperparameters (lr, dropout) are traced vectors — the
+    same compiled program serves every candidate that shares a shape;
+  * stopped cells keep computing but have their updates masked to
+    zero (effective lr 0), preserving lockstep (SURVEY.md §7 hard
+    part 3) — their final params are exactly the params at stop time,
+    which is what skorch scores with after an early stop;
+  * an epoch = one `lax.scan` over batches (train, accumulating metric
+    sufficient statistics) + one scan over valid batches; the Python
+    epoch loop syncs only a few KB of per-cell state per epoch and
+    exits when every cell has stopped;
+  * with a `jax.sharding.Mesh`, the population axis is sharded over
+    devices (NamedSharding on axis "grid"); corpus arrays are
+    replicated. Fits never communicate, so the program is collective-
+    free — the TPU answer to the reference's Dask scatter-gather
+    (SURVEY.md §5 'Distributed communication backend').
+
+Batch order note: the reference's train DataLoader does NOT shuffle
+(helper.py:73-77 sets only collate_fn), so epochs see fixed contiguous
+batches; `shuffle=False` reproduces that, `shuffle=True` is available.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.losses import resolve_criterion
+from ..ops.metrics import (finalize_metric_stats, init_metric_stats,
+                           update_metric_stats)
+from ..utils import log
+from .optimizers import clip_by_global_norm, resolve_optimizer
+from .schedule import (EarlyStopConfig, PlateauConfig, init_monitor_state,
+                       update_monitor_state)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_idx_matrix(rows: list, pad_to: int) -> tuple:
+    """List of 1-D index arrays → ([P, pad_to] int32 indices padded with
+    0, [P, pad_to] float32 weights)."""
+    P = len(rows)
+    idx = np.zeros((P, pad_to), np.int32)
+    w = np.zeros((P, pad_to), np.float32)
+    for i, r in enumerate(rows):
+        r = np.asarray(r, np.int32)
+        idx[i, :len(r)] = r
+        w[i, :len(r)] = 1.0
+    return idx, w
+
+
+@dataclass
+class TrainTask:
+    """One population: per-cell row indices + hyperparameters."""
+
+    train_rows: list                # P arrays of corpus row indices
+    valid_rows: list                # P arrays (monitor split)
+    lr: np.ndarray                  # [P]
+    dropout: np.ndarray             # [P]
+    cell_ids: list = field(default_factory=list)  # opaque labels
+
+    @property
+    def population(self) -> int:
+        return len(self.train_rows)
+
+
+@dataclass
+class TrainConfig:
+    optimizer: str = "torch.optim.SGD"
+    optimizer_args: dict = field(default_factory=dict)
+    criterion: str = "torch.nn.CrossEntropyLoss"
+    criterion_args: dict = field(default_factory=dict)
+    batch_size: int = 50
+    max_epochs: int = 200
+    gradient_clipping: Optional[dict] = None   # {"gradient_clip_value": x}
+    lr_scheduler: Optional[dict] = None        # reference lr_scheduler args
+    early_stopping: Optional[dict] = None      # reference early_stopping args
+    scoring: tuple = ("accuracy",)
+    seed: int = 0
+    shuffle: bool = False
+    eval_batch_size: int = 256
+    keep_best_params: bool = True
+    verbose: int = 1
+
+
+def _plateau_from_config(cfg: TrainConfig) -> PlateauConfig:
+    a = cfg.lr_scheduler or {}
+    if not a:
+        return PlateauConfig(enabled=False)
+    return PlateauConfig(
+        factor=float(a.get("factor", 0.1)),
+        patience=int(a.get("patience", 10)),
+        threshold=float(a.get("threshold", 1e-4)),
+        threshold_mode=str(a.get("threshold_mode", "rel")),
+        min_lr=float(a.get("min_lr", 0.0)),
+        enabled=True)
+
+
+def _earlystop_from_config(cfg: TrainConfig) -> EarlyStopConfig:
+    a = cfg.early_stopping or {}
+    if not a:
+        return EarlyStopConfig(enabled=False)
+    return EarlyStopConfig(
+        patience=int(a.get("patience", 5)),
+        threshold=float(a.get("threshold", 1e-4)),
+        threshold_mode=str(a.get("threshold_mode", "rel")),
+        enabled=True)
+
+
+class PopulationTrainer:
+    def __init__(self, model, tgt_pad_idx: int, num_classes: int,
+                 config: TrainConfig, mesh=None, population_axis="grid"):
+        self.model = model
+        self.config = config
+        self.tgt_pad_idx = int(tgt_pad_idx)
+        self.num_classes = int(num_classes)
+        self.mesh = mesh
+        self.population_axis = population_axis
+        self.criterion = resolve_criterion(config.criterion)
+        self.opt_update, self.opt_init = resolve_optimizer(
+            config.optimizer, config.optimizer_args)
+        self.plateau = _plateau_from_config(config)
+        self.early = _earlystop_from_config(config)
+        self.clip_value = (config.gradient_clipping or {}).get(
+            "gradient_clip_value")
+        # jit caches — keyed by static shapes so repeated fit()/predict()
+        # calls on the same geometry reuse compiled programs instead of
+        # retracing fresh closures.
+        self._epoch_fn_cache: dict = {}
+        self._init_fn_cache: dict = {}
+        self._predict_fn_cache: dict = {}
+
+    # ------------------------------------------------------------ sharding
+    def _shard_population(self, tree):
+        """Place population-stacked arrays with the P axis sharded over
+        the mesh (no-op without a mesh)."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P(self.population_axis))
+
+        def place(x):
+            if hasattr(x, "ndim") and x.ndim >= 1:
+                return jax.device_put(x, sharding)
+            return x
+
+        return jax.tree.map(place, tree)
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P())
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    # ------------------------------------------------------------ init
+    def init_population(self, sample_batch, population: int, seed: int):
+        tokens, lengths, y = sample_batch
+        cache_key = (population, tokens.shape)
+        if cache_key not in self._init_fn_cache:
+            def init_all(tokens, lengths, y, seed_arr):
+                def init_one(key):
+                    return self.model.init({"params": key}, tokens,
+                                           lengths, y)
+
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(jax.random.key(seed_arr),
+                                                 i))(jnp.arange(population))
+                params = jax.vmap(init_one)(keys)
+                opt_state = jax.vmap(self.opt_init)(params)
+                return params, opt_state
+
+            self._init_fn_cache[cache_key] = jax.jit(init_all)
+        return self._init_fn_cache[cache_key](tokens, lengths, y,
+                                              jnp.int32(seed))
+
+    # ------------------------------------------------------------ core step
+    def _cell_loss(self, params, tokens, lengths, y, w, rate, rng):
+        out = self.model.apply(params, tokens, lengths, y,
+                               dropout_rate=rate, deterministic=False,
+                               rngs={"dropout": rng})
+        loss = self.criterion(out, y, ignore_index=self.tgt_pad_idx,
+                              sample_weight=w)
+        return loss, out
+
+    def _build_epoch_fn(self, n_train_batches: int, n_valid_batches: int,
+                        batch: int, eval_batch: int):
+        cfg = self.config
+        V = self.num_classes
+        criterion = self.criterion
+        tgt_pad = self.tgt_pad_idx
+
+        def gather(data, idx):
+            tokens, lengths, labels = data
+            return tokens[idx], lengths[idx], labels[idx]
+
+        def cell_train_batch(params, opt_state, data, idx_b, w_b, lr, rate,
+                             rng, stats):
+            tokens, lengths, y = gather(data, idx_b)
+            y = jnp.where(w_b > 0, y, tgt_pad)  # pad rows → ignore_index
+            (loss, out), grads = jax.value_and_grad(
+                self._cell_loss, has_aux=True)(
+                params, tokens, lengths, y, w_b, rate, rng)
+            if self.clip_value is not None:
+                grads = clip_by_global_norm(grads, float(self.clip_value))
+            params, opt_state = self.opt_update(params, grads, opt_state, lr)
+            # skorch's on_train EpochScoring consumes the predictions made
+            # during training steps (dropout active) — accumulate those.
+            bw = jnp.sum(w_b)
+            stats = update_metric_stats(stats, y, out, w_b,
+                                        loss_sum=loss * bw)
+            return params, opt_state, stats
+
+        def cell_eval_batch(params, data, idx_b, w_b, stats):
+            tokens, lengths, y = gather(data, idx_b)
+            y = jnp.where(w_b > 0, y, tgt_pad)
+            out = self.model.apply(params, tokens, lengths, y)
+            loss = criterion(out, y, ignore_index=tgt_pad, sample_weight=w_b)
+            stats = update_metric_stats(stats, y, out, w_b,
+                                        loss_sum=loss * jnp.sum(w_b))
+            return stats
+
+        def cell_epoch(params, opt_state, monitor, best_params, data,
+                       train_idx, train_w, valid_idx, valid_w, rate, rng):
+            lr_eff = jnp.where(monitor.stopped, 0.0, monitor.lr)
+            stats0 = init_metric_stats(V)
+
+            def train_body(carry, b):
+                params, opt_state, stats = carry
+                idx_b = jax.lax.dynamic_slice_in_dim(train_idx, b * batch,
+                                                     batch)
+                w_b = jax.lax.dynamic_slice_in_dim(train_w, b * batch, batch)
+                # Freeze stopped cells' contributions (weights → 0 keeps
+                # metrics meaningless for them; they're masked on host).
+                step_rng = jax.random.fold_in(rng, b)
+                params, opt_state, stats = cell_train_batch(
+                    params, opt_state, data, idx_b, w_b, lr_eff, rate,
+                    step_rng, stats)
+                return (params, opt_state, stats), None
+
+            (params, opt_state, train_stats), _ = jax.lax.scan(
+                train_body, (params, opt_state, stats0),
+                jnp.arange(n_train_batches))
+
+            def valid_body(stats, b):
+                idx_b = jax.lax.dynamic_slice_in_dim(valid_idx,
+                                                     b * eval_batch,
+                                                     eval_batch)
+                w_b = jax.lax.dynamic_slice_in_dim(valid_w, b * eval_batch,
+                                                   eval_batch)
+                return cell_eval_batch(params, data, idx_b, w_b, stats), None
+
+            valid_stats, _ = jax.lax.scan(valid_body, init_metric_stats(V),
+                                          jnp.arange(n_valid_batches))
+
+            names = tuple(cfg.scoring)
+            train_metrics = finalize_metric_stats(train_stats,
+                                                  names + ("loss",))
+            valid_metrics = finalize_metric_stats(valid_stats,
+                                                  names + ("loss",))
+            valid_loss = valid_metrics["loss"]
+
+            monitor, ckpt_improved = update_monitor_state(
+                monitor, valid_loss, self.plateau, self.early)
+            if cfg.keep_best_params:
+                best_params = jax.tree.map(
+                    lambda b_, p: jnp.where(ckpt_improved, p, b_),
+                    best_params, params)
+            record = {"lr": monitor.lr, "stopped": monitor.stopped,
+                      "ckpt_improved": ckpt_improved}
+            record.update({f"train_{k}": v for k, v in
+                           train_metrics.items()})
+            record.update({f"valid_{k}": v for k, v in
+                           valid_metrics.items()})
+            return params, opt_state, monitor, best_params, record
+
+        vm = jax.vmap(cell_epoch,
+                      in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0))
+
+        def epoch_fn(params, opt_state, monitor, best_params, data,
+                     train_idx, train_w, valid_idx, valid_w, rate, rngs):
+            return vm(params, opt_state, monitor, best_params, data,
+                      train_idx, train_w, valid_idx, valid_w, rate, rngs)
+
+        donate = (0, 1, 2, 3)
+        return jax.jit(epoch_fn, donate_argnums=donate)
+
+    # ------------------------------------------------------------ fit
+    def fit(self, data, task: TrainTask):
+        """data: (tokens [N,S] int32, lengths [N], labels [N]) host or
+        device arrays. Returns a dict with final/best params, monitor
+        state, and per-epoch history [E, P]."""
+        cfg = self.config
+        P = task.population
+        tokens, lengths, labels = [np.asarray(a) for a in data]
+
+        n_tr = max(len(r) for r in task.train_rows)
+        n_va = max(max(len(r) for r in task.valid_rows), 1)
+        batch = min(cfg.batch_size, max(n_tr, 1))
+        eval_batch = min(cfg.eval_batch_size, n_va)
+        n_train_batches = _ceil_div(n_tr, batch)
+        n_valid_batches = _ceil_div(n_va, eval_batch)
+
+        train_idx, train_w = _pad_idx_matrix(task.train_rows,
+                                             n_train_batches * batch)
+        valid_idx, valid_w = _pad_idx_matrix(task.valid_rows,
+                                             n_valid_batches * eval_batch)
+
+        sample = (jnp.asarray(tokens[:batch]), jnp.asarray(lengths[:batch]),
+                  jnp.asarray(labels[:batch].astype(np.int32)))
+        params, opt_state = self.init_population(sample, P, cfg.seed)
+        monitor = init_monitor_state(jnp.asarray(task.lr, jnp.float32))
+        # best_params must not alias params: both are donated to the
+        # epoch program. Without checkpointing, a tiny placeholder tree
+        # rides along instead.
+        best_params = (jax.tree.map(jnp.copy, params)
+                       if cfg.keep_best_params
+                       else {"unused": jnp.zeros((P, 1), jnp.float32)})
+
+        data_dev = self._replicate((jnp.asarray(tokens),
+                                    jnp.asarray(lengths),
+                                    jnp.asarray(labels.astype(np.int32))))
+        params = self._shard_population(params)
+        opt_state = self._shard_population(opt_state)
+        best_params = self._shard_population(best_params)
+        train_idx = self._shard_population(jnp.asarray(train_idx))
+        train_w = self._shard_population(jnp.asarray(train_w))
+        valid_idx = self._shard_population(jnp.asarray(valid_idx))
+        valid_w = self._shard_population(jnp.asarray(valid_w))
+        rate = self._shard_population(jnp.asarray(task.dropout, jnp.float32))
+
+        shape_key = (n_train_batches, n_valid_batches, batch, eval_batch)
+        if shape_key not in self._epoch_fn_cache:
+            self._epoch_fn_cache[shape_key] = self._build_epoch_fn(
+                n_train_batches, n_valid_batches, batch, eval_batch)
+        epoch_fn = self._epoch_fn_cache[shape_key]
+
+        history: list = []
+        base_key = jax.random.key(cfg.seed + 1)
+        for epoch in range(cfg.max_epochs):
+            rngs = jax.vmap(
+                lambda i: jax.random.fold_in(
+                    jax.random.fold_in(base_key, epoch), i))(jnp.arange(P))
+            params, opt_state, monitor, best_params, record = epoch_fn(
+                params, opt_state, monitor, best_params, data_dev,
+                train_idx, train_w, valid_idx, valid_w, rate, rngs)
+            rec_host = {k: np.asarray(v) for k, v in record.items()}
+            history.append(rec_host)
+            if cfg.verbose >= 2:
+                log(f"epoch {epoch + 1}: "
+                    f"valid_loss={rec_host['valid_loss'].round(4)} "
+                    f"stopped={int(rec_host['stopped'].sum())}/{P}")
+            if bool(rec_host["stopped"].all()):
+                break
+
+        hist_arrays = {k: np.stack([h[k] for h in history])
+                       for k in history[0]} if history else {}
+        return {
+            "params": params,
+            "best_params": best_params,
+            "monitor": jax.tree.map(np.asarray, monitor),
+            "history": hist_arrays,
+            "epochs_run": np.asarray(monitor.epoch),
+        }
+
+    # ------------------------------------------------------------ predict
+    def predict_log_probs(self, params, data, rows: list,
+                          batch_size: int | None = None):
+        """Batched inference for P cells over per-cell row lists.
+        Returns ([P, M, V] log-probs, [P, M] weights)."""
+        tokens, lengths, labels = [jnp.asarray(np.asarray(a)) for a in data]
+        labels = labels.astype(jnp.int32)
+        M = max(max(len(r) for r in rows), 1)
+        eb = min(batch_size or self.config.eval_batch_size, M)
+        n_batches = _ceil_div(M, eb)
+        idx, w = _pad_idx_matrix(rows, n_batches * eb)
+        idx, w = jnp.asarray(idx), jnp.asarray(w)
+
+        cache_key = (len(rows), n_batches, eb, tokens.shape)
+        if cache_key not in self._predict_fn_cache:
+            def cell_predict(params, data, idx_row, w_row):
+                tokens, lengths, labels = data
+
+                def body(_, b):
+                    sl = jax.lax.dynamic_slice_in_dim(idx_row, b * eb, eb)
+                    wl = jax.lax.dynamic_slice_in_dim(w_row, b * eb, eb)
+                    out = self.model.apply(params, tokens[sl], lengths[sl],
+                                           labels[sl])
+                    return None, (out, wl)
+
+                _, (outs, ws) = jax.lax.scan(body, None,
+                                             jnp.arange(n_batches))
+                V = outs.shape[-1]
+                return outs.reshape(-1, V), ws.reshape(-1)
+
+            self._predict_fn_cache[cache_key] = jax.jit(
+                jax.vmap(cell_predict, in_axes=(0, None, 0, 0)))
+        out, w_out = self._predict_fn_cache[cache_key](
+            params, (tokens, lengths, labels), idx, w)
+        return out[:, :M], w_out[:, :M]
+
+
+def predict_log_probs(model, params, data, rows, tgt_pad_idx=1,
+                      num_classes=None, batch_size=256):
+    """Convenience single-shot predict (population-stacked params)."""
+    cfg = TrainConfig(eval_batch_size=batch_size)
+    trainer = PopulationTrainer(model, tgt_pad_idx,
+                                num_classes or 2, cfg)
+    return trainer.predict_log_probs(params, data, rows)

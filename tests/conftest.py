@@ -3,17 +3,35 @@ sharding paths are exercised without TPU hardware (the idiomatic JAX
 multi-device test setup; see SURVEY.md §4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: two traps here.
+# 1. The environment force-sets JAX_PLATFORMS=axon (the TPU tunnel), so
+#    this must be an overwrite, not a setdefault.
+# 2. `import pytest` already imported jax (jaxtyping registers a pytest
+#    plugin), and jax snapshots JAX_PLATFORMS at import — so the env var
+#    alone is too late; jax.config.update is required. XLA_FLAGS is read
+#    lazily at first backend init, so setting it here still works.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual-CPU platform, not the TPU tunnel")
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 import json
 import random
 
 import numpy as np
 import pytest
+
+from sign_language_nlp_tpu.utils.jaxtools import setup_compilation_cache
+
+setup_compilation_cache()
 
 # Vocabulary of plausible phonological attribute values per field kind.
 _ORIENTATIONS = ["left", "right", "up", "down", "front", "back",

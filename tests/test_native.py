@@ -1,0 +1,44 @@
+"""Native C++ loader parity: byte-identical output vs the canonical
+Python data path, for every composition strategy."""
+import numpy as np
+import pytest
+
+from sign_language_nlp_tpu.data import AslDataset
+from sign_language_nlp_tpu.native import build_corpus_native, native_available
+from tests.conftest import FIELDS
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native loader not built")
+
+
+@pytest.mark.parametrize("strategy", ["as_words", "all_values",
+                                      "as_words_norm", "as_sep_feat"])
+def test_native_matches_python(asl_corpus_dir, strategy):
+    common = {"dataset_dir": asl_corpus_dir, "fields": FIELDS,
+              "samples_min_freq": 2, "composition_strategy": strategy,
+              "reuse_transient": False}
+    py = AslDataset.build(dataset_args=dict(common, use_native=False))
+    nat = AslDataset.build(dataset_args=dict(common, use_native=True))
+    assert len(py) == len(nat)
+    assert py.src_vocab.itos == nat.src_vocab.itos
+    assert py.tgt_vocab.itos == nat.tgt_vocab.itos
+    np.testing.assert_array_equal(py.tokens, nat.tokens)
+    np.testing.assert_array_equal(py.lengths, nat.lengths)
+    np.testing.assert_array_equal(py.labels_idx, nat.labels_idx)
+
+
+def test_native_min_freq(asl_corpus_dir):
+    nat = AslDataset.build(dataset_args={
+        "dataset_dir": asl_corpus_dir, "fields": FIELDS,
+        "samples_min_freq": 2, "composition_strategy": "as_words",
+        "use_native": True})
+    assert "rare" not in nat.tgt_vocab  # 1-sample group filtered
+
+
+def test_native_raw_triple(asl_corpus_dir):
+    out = build_corpus_native(asl_corpus_dir, FIELDS, 2, "as_words")
+    assert out is not None
+    src, tgt, files = out
+    assert len(src) == len(tgt) == len(files) == 44
+    assert all(isinstance(s, list) for s in src)
+    assert all(f.endswith(".json") for f in files)

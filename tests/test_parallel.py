@@ -1,0 +1,67 @@
+"""Mesh construction + sharded population training on the 8-virtual-
+device CPU platform (conftest sets xla_force_host_platform_device_count).
+"""
+import jax
+import numpy as np
+import pytest
+
+from sign_language_nlp_tpu.models.registry import build_model
+from sign_language_nlp_tpu.parallel import build_mesh, partition_cells
+from sign_language_nlp_tpu.training.engine import (PopulationTrainer,
+                                                   TrainConfig, TrainTask)
+from tests.test_training import _toy_data
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_build_mesh():
+    mesh = build_mesh({})
+    assert mesh is not None
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("grid",)
+    small = build_mesh({"devices": 4})
+    assert small.devices.size == 4
+    single = build_mesh({"devices": 1})
+    assert single is None
+
+
+def test_partition_cells():
+    cells = list(range(10))
+    p0 = partition_cells(cells, process_id=0, num_processes=3)
+    p1 = partition_cells(cells, process_id=1, num_processes=3)
+    p2 = partition_cells(cells, process_id=2, num_processes=3)
+    assert sorted(p0 + p1 + p2) == cells
+    assert p0 == [0, 3, 6, 9]
+
+
+@pytest.mark.slow
+def test_sharded_population_matches_unsharded():
+    """An 8-cell population sharded over the 8-device mesh must produce
+    the same per-cell training trajectories as the unsharded run —
+    sharding is a placement decision, not a numerics change."""
+    data, labels = _toy_data(n=48)
+    P = 8
+    rows = np.arange(len(labels))
+    lrs = np.linspace(0.05, 0.5, P).astype(np.float32)
+    task = TrainTask(train_rows=[rows[:32]] * P, valid_rows=[rows[32:]] * P,
+                     lr=lrs, dropout=np.zeros(P, np.float32))
+
+    def fit(mesh):
+        model = build_model("model.EncoderDecoderGRUAttn", 12, 8, 1, 1,
+                            model_args={"embedding_size": 8,
+                                        "hidden_size": 8,
+                                        "num_layers": 1, "dropout": 0.0})
+        cfg = TrainConfig(batch_size=16, max_epochs=2, seed=0, verbose=0,
+                          scoring=("accuracy",))
+        trainer = PopulationTrainer(model, 1, 8, cfg, mesh=mesh)
+        return trainer.fit(data, task)
+
+    out_plain = fit(None)
+    out_mesh = fit(build_mesh({}))
+    np.testing.assert_allclose(out_plain["history"]["valid_loss"],
+                               out_mesh["history"]["valid_loss"],
+                               rtol=1e-4, atol=1e-5)
+    # Cells genuinely differ (per-cell lr was respected):
+    assert (np.ptp(out_mesh["history"]["valid_loss"][-1]) > 0)

@@ -1,0 +1,118 @@
+"""End-to-end pipeline test: one debug-sized config through
+`run()` → grid search → test → full artifact set (the reference's
+output-fidelity contract, SURVEY.md §5)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sign_language_nlp_tpu.pipeline import run
+from tests.conftest import FIELDS
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(asl_corpus_dir, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("work"))
+    args = {
+        "seed": 1,
+        "debug": False,
+        "cuda": False,
+        "verbose": 0,
+        "n_jobs": 1,
+        "cv": 2,
+        "lr": None,
+        "scoring": ["neg_log_loss", "accuracy", "precision_weighted",
+                    "recall_weighted", "f1_weighted"],
+        "max_epochs": 3,
+        "batch_size": 16,
+        "test_size": 0.15,
+        "early_stopping": {"patience": 30, "threshold": 1e-4,
+                           "threshold_mode": "rel"},
+        "gradient_clipping": {"gradient_clip_value": 0.5},
+        "lr_scheduler": {"policy": "ReduceLROnPlateau", "factor": 0.2,
+                         "patience": 5},
+        "model": "model.EncoderDecoderGRUAttn",
+        "model_args": {"embedding_size": 8, "hidden_size": 8,
+                       "num_layers": 1, "dropout": 0.1},
+        "criterion": "torch.nn.CrossEntropyLoss",
+        "optimizer": "torch.optim.SGD",
+        "optimizer_args": {"nesterov": False, "momentum": 0.9},
+        "grid_args": {"lr": [0.3, 0.01]},
+        "dataset_args": {
+            "dataset_dir": asl_corpus_dir,
+            "fields": FIELDS,
+            "samples_min_freq": 2,
+            "composition_strategy": "as_words",
+            "reuse_transient": False,
+            "balance_dataset": True,
+        },
+        "workdir": workdir,
+        "mesh_args": {},
+        "compat_args": {},
+    }
+    result = run(args)
+    return workdir, result
+
+
+def test_artifact_set(pipeline_result):
+    workdir, _ = pipeline_result
+    for name in ["grid_search_grid_params.csv", "grid_search_results.csv",
+                 "grid_search_output.json", "grid_search_manifest.json",
+                 "test_output.json", "test_profile_table.txt",
+                 "test_profile.json"]:
+        assert os.path.exists(os.path.join(workdir, name)), name
+
+
+def test_grid_output_contents(pipeline_result):
+    workdir, result = pipeline_result
+    with open(os.path.join(workdir, "grid_search_output.json")) as f:
+        out = json.load(f)
+    assert set(out) == {"best_score", "best_params", "best_index",
+                        "scoring"}
+    assert out["best_params"]["lr"] in (0.3, 0.01)
+    assert out["scoring"] == "ScoringWrapper('neg_log_loss')"
+
+
+def test_cv_results_columns(pipeline_result):
+    import pandas as pd
+
+    workdir, _ = pipeline_result
+    df = pd.read_csv(os.path.join(workdir, "grid_search_results.csv"))
+    for col in ["mean_fit_time", "std_fit_time", "mean_score_time",
+                "std_score_time", "param_lr", "params",
+                "split0_test_score", "split1_test_score",
+                "mean_test_score", "std_test_score", "rank_test_score"]:
+        assert col in df.columns, col
+    assert len(df) == 2  # two candidates
+    assert set(df["rank_test_score"]) == {1, 2}
+
+
+def test_test_output_metrics(pipeline_result):
+    workdir, _ = pipeline_result
+    with open(os.path.join(workdir, "test_output.json")) as f:
+        out = json.load(f)
+    assert set(out) == {"test_accuracy", "test_neg_log_loss",
+                        "test_precision_weighted", "test_recall_weighted",
+                        "test_f1_weighted"}
+    assert 0.0 <= out["test_accuracy"] <= 1.0
+    assert out["test_neg_log_loss"] <= 0.0
+
+
+def test_profile_json(pipeline_result):
+    workdir, _ = pipeline_result
+    with open(os.path.join(workdir, "test_profile.json")) as f:
+        prof = json.load(f)
+    assert prof["wall_time_s"] > 0
+    assert "flops" in prof and "bytes_accessed" in prof
+
+
+def test_manifest_resume(pipeline_result, asl_corpus_dir):
+    # A second search with the same workdir must skip all completed
+    # cells (manifest-based resume; SURVEY.md §5 failure detection).
+    workdir, result = pipeline_result
+    with open(os.path.join(workdir, "grid_search_manifest.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest) == 4  # 2 candidates x 2 folds
+    for rec in manifest.values():
+        assert "score" in rec and "epochs" in rec

@@ -1,0 +1,87 @@
+"""Search-layer unit tests: stratified K-fold exactness, skorch-style
+inner split, ParameterGrid ordering, grid building."""
+import numpy as np
+import pytest
+
+from sign_language_nlp_tpu.search import (ParamGrid, build_param_grid,
+                                          stratified_kfold,
+                                          train_valid_split)
+from sign_language_nlp_tpu.search.grid import candidate_to_nested
+
+sklearn = pytest.importorskip("sklearn")
+
+
+@pytest.mark.parametrize("seed,n,k", [(0, 50, 5), (1, 37, 3), (2, 101, 5)])
+def test_stratified_kfold_matches_sklearn(seed, n, k):
+    from sklearn.model_selection import StratifiedKFold
+
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 6, n)
+    # Ensure every class has >= k members for a clean comparison:
+    y = np.concatenate([y, np.repeat(np.arange(6), k)])
+    ours = stratified_kfold(y, k)
+    theirs = list(StratifiedKFold(n_splits=k, shuffle=False).split(
+        np.zeros_like(y), y))
+    for (otr, ote), (str_, ste) in zip(ours, theirs):
+        np.testing.assert_array_equal(otr, str_)
+        np.testing.assert_array_equal(ote, ste)
+
+
+def test_train_valid_split_is_first_fold():
+    y = np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1])
+    tr, va = train_valid_split(y, n_splits=5)
+    otr, ova = stratified_kfold(y, 5)[0]
+    np.testing.assert_array_equal(tr, otr)
+    np.testing.assert_array_equal(va, ova)
+    assert len(va) == 2  # 20%
+
+
+def test_param_grid_order_matches_sklearn():
+    from sklearn.model_selection import ParameterGrid
+
+    grid = {"lr": [0.1, 0.01], "module__embedding_size": [64, 32],
+            "module__dropout": [0.5, 0.1]}
+    ours = list(ParamGrid(grid).candidates())
+    theirs = list(ParameterGrid(grid))
+    assert ours == theirs
+    assert len(ParamGrid(grid)) == 8
+
+
+def test_build_param_grid_namespacing():
+    # Reference grid_args shape (config-transformer.yaml:46-53).
+    grid_args = {
+        "lr": [0.1, 0.01, 0.001],
+        "model_args": {
+            "embedding_size": [1024, 512, 128],
+            "hidden_size": [512, 256, 128],
+            "num_layers": [6, 4, 2],
+            "dropout": [0.5, 0.1],
+            "num_heads": [8, 4],
+        },
+    }
+    grid = build_param_grid(grid_args)
+    assert set(grid.grid) == {
+        "lr", "module__embedding_size", "module__hidden_size",
+        "module__num_layers", "module__dropout", "module__num_heads"}
+    # The reference transformer grid: 3*3*3*3*2*2 = 324 candidates
+    # (SURVEY.md §2).
+    assert len(grid) == 324
+
+
+def test_cross_product_rows_insertion_order():
+    grid = ParamGrid({"b": [1, 2], "a": [3]})
+    cols, rows = grid.cross_product_rows()
+    assert cols == ["b", "a"]  # insertion order, not sorted
+    assert rows == [(1, 3), (2, 3)]
+
+
+def test_candidate_to_nested():
+    nested = candidate_to_nested({
+        "lr": 0.1, "module__embedding_size": 64,
+        "optimizer__momentum": 0.9, "criterion__ignore_index": 1,
+        "callbacks__early_stopping__patience": 3})
+    assert nested["lr"] == 0.1
+    assert nested["model_args"] == {"embedding_size": 64}
+    assert nested["optimizer_args"] == {"momentum": 0.9}
+    assert nested["criterion_args"] == {"ignore_index": 1}
+    assert nested["callbacks_args"] == {"early_stopping__patience": 3}
