@@ -71,7 +71,7 @@ def main() -> None:
                                                        TrainTask)
 
     small = os.environ.get("BENCH_SMALL") == "1"
-    P = int(os.environ.get("BENCH_POP", 4 if small else 16))
+    P = int(os.environ.get("BENCH_POP", 4 if small else 64))
     epochs = int(os.environ.get("BENCH_EPOCHS", 2))
     log(f"device: {jax.devices()[0]}, population={P}, epochs={epochs}, "
         f"small={small}")

@@ -1,0 +1,84 @@
+"""Generate a synthetic ASL-Phono-shaped corpus for benchmarks and
+end-to-end validation when the real dataset is unavailable.
+
+Shape targets follow the real ASL-Phono statistics the reference was
+built for (README.md:43-44 links the dataset paper): a few thousand
+sign videos over ~100+ gloss classes, per-frame phonology dicts with
+occasional nulls, frame counts in the tens-to-hundreds. Class-dependent
+attribute distributions make the classification task learnable, so
+training curves behave like real data rather than noise.
+
+Usage:
+    python scripts/make_synth_corpus.py --out work/synth-corpus \
+        --classes 100 --samples 2000 [--seed 1]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import random
+from pathlib import Path
+
+ORIENTATIONS = ["left", "right", "up", "down", "front", "back",
+                "left_back", "left_down_front", "right_up_back",
+                "down_front", "up_front", "left_front"]
+MOVEMENTS = ["left", "right", "up_down", "front_back", "left_down_front",
+             "circular", "wrist_twist", "none", "up", "down"]
+HANDSHAPES = ["L", "A", "B", "C", "S", "five", "one", "flat_b", "open_a",
+              "bent_v", "claw", "index"]
+FIELDS = ["orientation_dh", "orientation_ndh", "movement_dh",
+          "movement_ndh", "handshape_dh", "handshape_ndh"]
+POOLS = {"orientation": ORIENTATIONS, "movement": MOVEMENTS,
+         "handshape": HANDSHAPES}
+
+
+def make_corpus(out_dir: str, n_classes: int, n_samples: int,
+                seed: int = 1, null_rate: float = 0.12) -> None:
+    rng = random.Random(seed)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    # Per-class attribute "signature": a preferred value per field, used
+    # with high probability so classes are separable but noisy.
+    classes = []
+    for c in range(n_classes):
+        sig = {f: rng.choice(POOLS[f.split("_")[0]]) for f in FIELDS}
+        classes.append((f"sign{c:03d}", sig))
+
+    # Zipf-ish class imbalance (the real dataset is imbalanced — the
+    # reference ships a balancer for it, helper.py:344-388):
+    weights = [1.0 / (1 + i) ** 0.7 for i in range(n_classes)]
+    total_w = sum(weights)
+    counts = [max(2, round(n_samples * w / total_w)) for w in weights]
+
+    n_written = 0
+    for (label, sig), count in zip(classes, counts):
+        for i in range(count):
+            n_frames = rng.randint(8, 120)
+            frames = []
+            for _ in range(n_frames):
+                frame = {}
+                for f in FIELDS:
+                    if rng.random() < null_rate:
+                        frame[f] = None
+                    elif rng.random() < 0.7:
+                        frame[f] = {"value": sig[f]}
+                    else:
+                        frame[f] = {"value":
+                                    rng.choice(POOLS[f.split("_")[0]])}
+                frames.append(frame)
+            path = out / f"{label}-{i:04d}.json"
+            path.write_text(json.dumps(
+                {"label": label, "frames": {"phonology": frames}}))
+            n_written += 1
+    print(f"wrote {n_written} samples over {n_classes} classes to {out}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--classes", type=int, default=100)
+    ap.add_argument("--samples", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=1)
+    args = ap.parse_args()
+    make_corpus(args.out, args.classes, args.samples, args.seed)

@@ -116,6 +116,11 @@ def run(args: dict) -> dict:
 
     if args.get("debug"):
         args.setdefault("dataset_args", {})["reuse_transient"] = True
+        # Debug runs fail fast on numeric corruption (the JAX analogue
+        # of a sanitizer pass; SURVEY.md §5 race-detection note).
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     dataset = AslDataset.build(dataset_args=args["dataset_args"],
                                batch_first=True).stoi()
@@ -149,7 +154,14 @@ def tune_hyperparams(driver: GridSearchDriver, train_data: AslDataset,
     phase = "grid_search"
     workdir = args.get("workdir") or "."
 
-    grid = build_param_grid(args.get("grid_args") or {})
+    from .training.callbacks import build_callbacks
+
+    _, callbacks_names = build_callbacks(dataset=train_data, **{
+        k: v for k, v in args.items()
+        if k in ("mode", "workdir", "scoring", "early_stopping",
+                 "gradient_clipping", "lr_scheduler")})
+    grid = build_param_grid(args.get("grid_args") or {},
+                            callbacks_names=callbacks_names)
     save_param_grid(grid, phase=phase, workdir=workdir)
 
     scoring_names = args.get("scoring") or ["accuracy"]

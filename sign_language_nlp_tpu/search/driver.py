@@ -104,14 +104,19 @@ class GridSearchDriver:
 
     def _trainer_for(self, model, nested_first: dict,
                      mesh="inherit") -> PopulationTrainer:
+        from ..training.callbacks import apply_callback_overrides
+
         cfg = self.train_config
         opt_args = dict(cfg.optimizer_args)
         opt_args.update(nested_first.get("optimizer_args", {}))
         crit_args = dict(cfg.criterion_args)
         crit_args.update(nested_first.get("criterion_args", {}))
-        cfg = TrainConfig(**{**cfg.__dict__,
-                             "optimizer_args": opt_args,
-                             "criterion_args": crit_args})
+        kwargs = {**cfg.__dict__, "optimizer_args": opt_args,
+                  "criterion_args": crit_args}
+        # Grid overrides like callbacks__early_stopping__patience:
+        kwargs = apply_callback_overrides(
+            kwargs, nested_first.get("callbacks_args"))
+        cfg = TrainConfig(**kwargs)
         return PopulationTrainer(model, self.tgt_pad_idx,
                                  self.tgt_vocab_size, cfg,
                                  mesh=self.mesh if mesh == "inherit"

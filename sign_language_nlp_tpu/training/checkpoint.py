@@ -22,6 +22,9 @@ def save_checkpoint(workdir: str, params: Any, descriptor: dict,
     import jax
     import numpy as np
 
+    from ..utils import create_if_missing
+
+    create_if_missing(workdir)
     host_params = jax.tree.map(np.asarray, params)
     blob = flax.serialization.to_bytes(host_params)
     path = f"{workdir}/{name}.msgpack"
