@@ -81,8 +81,10 @@ def main() -> None:
     rows = np.arange(n)
     tr, va = rows[: int(n * 0.8)], rows[int(n * 0.8):]
 
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = build_model("model.Transformer", vs, vt, 1, 1,
-                        model_args=margs)
+                        model_args=margs,
+                        precision_args={"compute_dtype": dtype})
     cfg = TrainConfig(batch_size=50, max_epochs=epochs, seed=0, verbose=0,
                       optimizer_args={"momentum": 0.9},
                       gradient_clipping={"gradient_clip_value": 0.5},

@@ -28,3 +28,33 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import sign_language_nlp_tpu` free of
+    jax/flax imports until actually used)."""
+    if name == "AslDataset":
+        from .data import AslDataset
+
+        return AslDataset
+    if name == "SignClassifier":
+        from .classifier import SignClassifier
+
+        return SignClassifier
+    if name == "run":
+        from .pipeline import run
+
+        return run
+    if name == "GridSearchDriver":
+        from .search import GridSearchDriver
+
+        return GridSearchDriver
+    if name == "PopulationTrainer":
+        from .training import PopulationTrainer
+
+        return PopulationTrainer
+    raise AttributeError(name)
+
+
+__all__ = ["AslDataset", "SignClassifier", "run", "GridSearchDriver",
+           "PopulationTrainer", "__version__"]

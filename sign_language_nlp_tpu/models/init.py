@@ -23,14 +23,17 @@ def uniform_init(limit: float):
 
 
 def torch_dense(features: int, in_features: int, use_bias: bool = True,
-                name: str | None = None, xavier: bool = False) -> nn.Dense:
+                name: str | None = None, xavier: bool = False,
+                dtype=None) -> nn.Dense:
     """A Dense layer initialized like torch nn.Linear (or with
-    Xavier-uniform kernels for transformer blocks)."""
+    Xavier-uniform kernels for transformer blocks). `dtype` is the
+    compute dtype (params stay float32; bfloat16 compute engages the
+    MXU's high-throughput path)."""
     k = 1.0 / math.sqrt(in_features)
     kernel_init = (nn.initializers.xavier_uniform() if xavier
                    else uniform_init(k))
     return nn.Dense(features, use_bias=use_bias, kernel_init=kernel_init,
-                    bias_init=uniform_init(k), name=name)
+                    bias_init=uniform_init(k), name=name, dtype=dtype)
 
 
 def embedding_init():

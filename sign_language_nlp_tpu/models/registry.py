@@ -47,18 +47,29 @@ def resolve_model(name: str):
 def build_model(name: str, src_vocab_size: int, tgt_vocab_size: int,
                 src_pad_idx: int, tgt_pad_idx: int, bos_idx: int = 0,
                 model_args: dict | None = None,
-                compat_args: dict | None = None):
+                compat_args: dict | None = None,
+                precision_args: dict | None = None):
     """Instantiate a model from config values (the counterpart of the
-    reference's lazy `module__*` construction, helper.py:53-59,93)."""
+    reference's lazy `module__*` construction, helper.py:53-59,93).
+
+    precision_args: {"compute_dtype": "bfloat16"|"float32"} — params
+    always stay float32; compute_dtype selects the matmul path.
+    """
+    import jax.numpy as jnp
+
     cls = resolve_model(name)
     model_args = dict(model_args or {})
     allowed = _FAMILY_KEYS.get(cls, _COMMON_KEYS)
     kwargs = {k: v for k, v in model_args.items()
               if k in allowed and v is not None}
     compat = {k: v for k, v in (compat_args or {}).items()
-              if k in ("causal_encoder", "mask_memory", "tgt_input")}
+              if k in ("causal_encoder", "mask_memory", "tgt_input",
+                       "attn_backend")}
     if cls is not Transformer:
         compat = {}
+    dtype_name = (precision_args or {}).get("compute_dtype")
+    if dtype_name:
+        kwargs["dtype"] = jnp.dtype(dtype_name)
     return cls(src_vocab_size=src_vocab_size,
                tgt_vocab_size=tgt_vocab_size,
                src_pad_idx=src_pad_idx,

@@ -49,13 +49,14 @@ class MultiHeadAttentionBlock(nn.Module):
     d_model: int
     num_heads: int
     backend: str = "xla"  # "pallas" = fused VMEM kernel (inference path)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q_in, kv_in, bias, rate, deterministic):
-        d = self.d_model
-        q = torch_dense(d, d, xavier=True, name="q_proj")(q_in)
-        k = torch_dense(d, d, xavier=True, name="k_proj")(kv_in)
-        v = torch_dense(d, d, xavier=True, name="v_proj")(kv_in)
+        d, dt = self.d_model, self.dtype
+        q = torch_dense(d, d, xavier=True, name="q_proj", dtype=dt)(q_in)
+        k = torch_dense(d, d, xavier=True, name="k_proj", dtype=dt)(kv_in)
+        v = torch_dense(d, d, xavier=True, name="v_proj", dtype=dt)(kv_in)
         drop_rng = (None if deterministic
                     else self.make_rng("dropout"))
         out = multi_head_attention(q, k, v, bias,
@@ -64,23 +65,25 @@ class MultiHeadAttentionBlock(nn.Module):
                                    dropout_rng=drop_rng,
                                    deterministic=deterministic,
                                    backend=self.backend)
-        return torch_dense(d, d, xavier=True, name="out_proj")(out)
+        return torch_dense(d, d, xavier=True, name="out_proj",
+                           dtype=dt)(out)
 
 
 class FeedForward(nn.Module):
     d_model: int
     hidden_size: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, rate, deterministic):
         h = torch_dense(self.hidden_size, self.d_model, xavier=True,
-                        name="linear1")(x)
+                        name="linear1", dtype=self.dtype)(x)
         h = nn.relu(h)
         h = dropout(h, rate,
                     None if deterministic else self.make_rng("dropout"),
                     deterministic)
         return torch_dense(self.d_model, self.hidden_size, xavier=True,
-                           name="linear2")(h)
+                           name="linear2", dtype=self.dtype)(h)
 
 
 class EncoderLayer(nn.Module):
@@ -88,6 +91,7 @@ class EncoderLayer(nn.Module):
     num_heads: int
     hidden_size: int
     backend: str = "xla"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, bias, rate, deterministic):
@@ -97,11 +101,12 @@ class EncoderLayer(nn.Module):
                            deterministic)
 
         attn = MultiHeadAttentionBlock(self.d_model, self.num_heads,
-                                       self.backend, name="self_attn")(
+                                       self.backend, self.dtype,
+                                       name="self_attn")(
             x, x, bias, rate, deterministic)
         x = nn.LayerNorm(name="norm1")(x + drop(attn))
-        ff = FeedForward(self.d_model, self.hidden_size, name="ff")(
-            x, rate, deterministic)
+        ff = FeedForward(self.d_model, self.hidden_size, self.dtype,
+                         name="ff")(x, rate, deterministic)
         return nn.LayerNorm(name="norm2")(x + drop(ff))
 
 
@@ -110,6 +115,7 @@ class DecoderLayer(nn.Module):
     num_heads: int
     hidden_size: int
     backend: str = "xla"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, memory, self_bias, cross_bias, rate,
@@ -120,15 +126,17 @@ class DecoderLayer(nn.Module):
                            deterministic)
 
         attn = MultiHeadAttentionBlock(self.d_model, self.num_heads,
-                                       self.backend, name="self_attn")(
+                                       self.backend, self.dtype,
+                                       name="self_attn")(
             x, x, self_bias, rate, deterministic)
         x = nn.LayerNorm(name="norm1")(x + drop(attn))
         cross = MultiHeadAttentionBlock(self.d_model, self.num_heads,
-                                        self.backend, name="cross_attn")(
+                                        self.backend, self.dtype,
+                                        name="cross_attn")(
             x, memory, cross_bias, rate, deterministic)
         x = nn.LayerNorm(name="norm2")(x + drop(cross))
-        ff = FeedForward(self.d_model, self.hidden_size, name="ff")(
-            x, rate, deterministic)
+        ff = FeedForward(self.d_model, self.hidden_size, self.dtype,
+                         name="ff")(x, rate, deterministic)
         return nn.LayerNorm(name="norm3")(x + drop(ff))
 
 
@@ -196,7 +204,7 @@ class Transformer(nn.Module):
         h = src_embed
         for i in range(self.num_layers):
             h = EncoderLayer(d, self.num_heads, self.hidden_size,
-                             self.attn_backend,
+                             self.attn_backend, self.dtype,
                              name=f"encoder_layer_{i}")(
                 h, src_bias, rate, deterministic)
         memory = nn.LayerNorm(name="encoder_norm")(h)
@@ -205,11 +213,12 @@ class Transformer(nn.Module):
         g = tgt_embed
         for i in range(self.num_layers):
             g = DecoderLayer(d, self.num_heads, self.hidden_size,
-                             self.attn_backend,
+                             self.attn_backend, self.dtype,
                              name=f"decoder_layer_{i}")(
                 g, memory, tgt_bias, cross_bias, rate, deterministic)
         g = nn.LayerNorm(name="decoder_norm")(g)
 
         # --- classification head: linear → log_softmax → [B, V] ---
-        logits = torch_dense(self.tgt_vocab_size, d, name="head")(g[:, 0, :])
+        logits = torch_dense(self.tgt_vocab_size, d, name="head")(
+            g[:, 0, :].astype(jnp.float32))
         return jax.nn.log_softmax(logits, axis=-1)

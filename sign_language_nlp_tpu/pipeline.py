@@ -104,6 +104,7 @@ def build_driver(args: dict, dataset: AslDataset,
                            .get("max_population", 32)),
         workdir=args.get("workdir"),
         compat_args=args.get("compat_args") or {},
+        precision_args=args.get("precision_args") or {},
         verbose=int(args.get("verbose") or 1),
     )
 

@@ -78,6 +78,7 @@ class GridSearchDriver:
     max_population: int = 32
     workdir: Optional[str] = None
     compat_args: dict = field(default_factory=dict)
+    precision_args: dict = field(default_factory=dict)
     verbose: int = 1
 
     # ------------------------------------------------------------------
@@ -99,7 +100,8 @@ class GridSearchDriver:
         model = build_model(self.model_name, self.src_vocab_size,
                             self.tgt_vocab_size, self.src_pad_idx,
                             self.tgt_pad_idx, model_args=margs,
-                            compat_args=self.compat_args)
+                            compat_args=self.compat_args,
+                            precision_args=self.precision_args)
         return model, float(lr), float(dropout or 0.0), nested
 
     def _trainer_for(self, model, nested_first: dict,

@@ -102,6 +102,9 @@ class TrainConfig:
     eval_batch_size: int = 256
     keep_best_params: bool = True
     verbose: int = 1
+    # Attribution/inference switch: True removes dropout (and its RNG
+    # work) from the compiled train step entirely.
+    train_deterministic: bool = False
 
 
 def _plateau_from_config(cfg: TrainConfig) -> PlateauConfig:
@@ -199,9 +202,13 @@ class PopulationTrainer:
 
     # ------------------------------------------------------------ core step
     def _cell_loss(self, params, tokens, lengths, y, w, rate, rng):
-        out = self.model.apply(params, tokens, lengths, y,
-                               dropout_rate=rate, deterministic=False,
-                               rngs={"dropout": rng})
+        if self.config.train_deterministic:
+            out = self.model.apply(params, tokens, lengths, y,
+                                   dropout_rate=0.0, deterministic=True)
+        else:
+            out = self.model.apply(params, tokens, lengths, y,
+                                   dropout_rate=rate, deterministic=False,
+                                   rngs={"dropout": rng})
         loss = self.criterion(out, y, ignore_index=self.tgt_pad_idx,
                               sample_weight=w)
         return loss, out
