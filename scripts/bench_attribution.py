@@ -54,8 +54,10 @@ def main():
         else:
             jax.config.update("jax_default_prng_impl", "threefry2x32")
         dtype = "bfloat16" if variant == "bf16" else "float32"
+        compat = ({"attn_backend": "pallas"} if variant.startswith("pallas")
+                  else {})
         model = build_model("model.Transformer", vs, vt, 1, 1,
-                            model_args=margs,
+                            model_args=margs, compat_args=compat,
                             precision_args={"compute_dtype": dtype})
         cfg = TrainConfig(batch_size=50, max_epochs=1, seed=0, verbose=0,
                           optimizer_args={"momentum": 0.9},

@@ -42,11 +42,19 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     assert E % num_heads == 0, "embed dim must divide num_heads"
     head_dim = E // num_heads
 
-    if backend == "pallas" and (deterministic or dropout_rng is None):
-        from .pallas_attention import multi_head_attention_pallas
+    if backend == "pallas":
+        if deterministic or dropout_rng is None:
+            from .pallas_attention import multi_head_attention_pallas
 
-        return multi_head_attention_pallas(q, k, v, bias,
-                                           num_heads=num_heads)
+            return multi_head_attention_pallas(q, k, v, bias,
+                                               num_heads=num_heads)
+        if jax.default_backend() == "tpu":
+            # Training path: fused kernels with in-kernel weight dropout
+            # (the TPU PRNG is unavailable in interpreter mode, so
+            # non-TPU backends fall through to the XLA path below).
+            return _mha_pallas_train(q, k, v, bias, num_heads=num_heads,
+                                     dropout_rate=dropout_rate,
+                                     dropout_rng=dropout_rng)
 
     qh = q.reshape(B, Sq, num_heads, head_dim)
     kh = k.reshape(B, Sk, num_heads, head_dim)
@@ -66,6 +74,29 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(vh.dtype), vh,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, Sq, E).astype(q.dtype)
+
+
+def _mha_pallas_train(q, k, v, bias, *, num_heads, dropout_rate,
+                      dropout_rng):
+    """[B,S,E] model-layout inputs → fused training attention. Heads
+    split inside the kernel; per-batch-row dropout seeds derive from
+    the layer's dropout rng."""
+    from .pallas_attention_train import fused_attention_train
+
+    B, Sq, E = q.shape
+    Sk = k.shape[1]
+    # bias stays HEAD-SHARED [B, Sq, Sk] (the framework's masks are
+    # per-row) — no per-head broadcast ever hits HBM.
+    if bias is None:
+        bias_hs = jnp.zeros((B, Sq, Sk), jnp.float32)
+    else:
+        b4 = jnp.broadcast_to(bias, (B, 1) + bias.shape[-2:])
+        bias_hs = jnp.broadcast_to(b4[:, 0], (B, Sq, Sk))
+    seeds = jax.random.randint(dropout_rng, (B,), 0,
+                               jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    rate = jnp.reshape(jnp.asarray(dropout_rate, jnp.float32), (1,))
+    return fused_attention_train(q, k, v, bias_hs.astype(jnp.float32),
+                                 seeds, rate, True, num_heads)
 
 
 def causal_bias(seq_len: int, dtype=jnp.float32) -> jax.Array:

@@ -1,0 +1,227 @@
+"""Training-grade fused multi-head attention: Pallas forward AND
+backward kernels with optional in-kernel attention-weight dropout.
+
+Motivation (measured; see DESIGN.md and scripts/bench_attribution.py):
+the population trainer's step time is dominated by the attention
+chain — the [P,B,H,S,S] score-tensor materialization, the head
+split/merge transpose copies, and softmax HBM round-trips — not by
+matmul FLOPs. ASL sequences are short (S ≤ a few hundred), so one
+program instance holds a whole batch row in VMEM and computes every
+head in one shot.
+
+Layout decision (the first version OOMed): all HBM arrays stay in
+model layout [B, S, E] — E is a lane-aligned multiple of 128, so
+nothing pads. Splitting heads in HBM ([BH, S, D] with D=32) made XLA
+pad the last dim 32→128, a 4x HBM expansion across q/k/v and their
+VJP residuals (observed: 22.3G > 15.75G capacity). Heads are split
+*inside* the kernel via reshape + batched dot_general, which also
+deletes the transpose copies the XLA path pays.
+
+Per program instance (one batch row, all H heads):
+    Qh = reshape(q, [Sq,H,D]);  S_h = Qh·Khᵀ·scale + bias
+    P  = softmax(S_h);  Pd = P ⊙ M / (1-r)   (M from the TPU PRNG)
+    O  = concat_h(Pd_h·Vh)                       — forward
+    dV, dP, dS, dQ, dK by flash-style algebra    — backward,
+regenerating the identical dropout mask from seeds[program_id]
+(pltpu.prng_seed / prng_random_bits; scalars via
+PrefetchScalarGridSpec).
+
+bias is head-shared [B, Sq, Sk] (the framework's masks are per-row,
+never per-head). On non-TPU backends the kernels run in interpreter
+mode; the TPU PRNG is unavailable there, so ops/attention.py routes
+dropout-active training through this path only on real TPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_attention import _needs_interpret
+
+
+def _keep_mask(shape, rate):
+    """Regenerate the dropout keep-mask from the already-seeded PRNG.
+    Comparison happens in a 24-bit integer domain (Mosaic has no
+    float→uint32 cast): keep iff top-24-bits(u32) >= rate·2²⁴."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits24 = jax.lax.shift_right_logical(
+        bits, jnp.full(shape, 8, jnp.uint32)).astype(jnp.int32)  # [0,2^24)
+    threshold = (rate * jnp.float32(16777216.0)).astype(jnp.int32)
+    return bits24 >= threshold
+
+
+def _head_slice(x, h, D):
+    """Static lane slice [S, E] → [S, D] for head h (Mosaic cannot
+    reshape across the lane dim, but static lane slices lower fine)."""
+    return x[:, h * D:(h + 1) * D]
+
+
+def _probs_one_head(qh, kh, bias, scale):
+    """qh [Sq,D], kh [Sk,D], bias [Sq,Sk] → softmax probs [Sq,Sk]."""
+    scores = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + bias
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(seed_ref, rate_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                *, scale, use_dropout, n_heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H = n_heads
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    Sq, E = q.shape
+    D = E // H
+    bias = bias_ref[0]
+    if use_dropout:
+        pltpu.prng_seed(seed_ref[pl.program_id(0)])
+        rate = rate_ref[0]
+        inv = 1.0 / jnp.maximum(1.0 - rate, 1e-6)
+    # Static unroll over heads; each head is small VMEM-resident algebra.
+    for h in range(H):
+        probs = _probs_one_head(_head_slice(q, h, D),
+                                _head_slice(k, h, D), bias, scale)
+        if use_dropout:
+            keep = _keep_mask(probs.shape, rate)
+            probs = jnp.where(keep, probs * inv, 0.0)
+        out_h = jnp.dot(probs.astype(v.dtype), _head_slice(v, h, D),
+                        preferred_element_type=jnp.float32)
+        o_ref[0, :, h * D:(h + 1) * D] = out_h.astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, rate_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, use_dropout, n_heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H = n_heads
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    Sq, E = q.shape
+    D = E // H
+    bias = bias_ref[0]
+    if use_dropout:
+        pltpu.prng_seed(seed_ref[pl.program_id(0)])
+        rate = rate_ref[0]
+        inv = 1.0 / jnp.maximum(1.0 - rate, 1e-6)
+    # IMPORTANT: dropout bits must replay the forward's order — one
+    # _keep_mask call per head, heads ascending, same seed.
+    for h in range(H):
+        qh = _head_slice(q, h, D)
+        kh = _head_slice(k, h, D)
+        vh = _head_slice(v, h, D).astype(jnp.float32)
+        doh = _head_slice(do, h, D).astype(jnp.float32)
+        probs = _probs_one_head(qh, kh, bias, scale)  # [Sq,Sk]
+        dpd = jax.lax.dot_general(  # dO vᵀ → [Sq,Sk]
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if use_dropout:
+            keep = _keep_mask(probs.shape, rate)
+            pd = jnp.where(keep, probs * inv, 0.0)
+            dp = jnp.where(keep, dpd * inv, 0.0)
+        else:
+            pd, dp = probs, dpd
+        dv_h = jax.lax.dot_general(  # Pdᵀ dO → [Sk,D]
+            pd, doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv_ref[0, :, h * D:(h + 1) * D] = dv_h.astype(dv_ref.dtype)
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        dq_h = jax.lax.dot_general(  # dS k → [Sq,D]
+            ds, kh.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[0, :, h * D:(h + 1) * D] = dq_h.astype(dq_ref.dtype)
+        dk_h = jax.lax.dot_general(  # dSᵀ q → [Sk,D]
+            ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dk_ref[0, :, h * D:(h + 1) * D] = dk_h.astype(dk_ref.dtype)
+
+
+def _grid_spec(B, Sq, Sk, E, n_out):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q_spec = pl.BlockSpec((1, Sq, E), lambda i, *_: (i, 0, 0))
+    k_spec = pl.BlockSpec((1, Sk, E), lambda i, *_: (i, 0, 0))
+    bias_spec = pl.BlockSpec((1, Sq, Sk), lambda i, *_: (i, 0, 0))
+    in_specs = [q_spec, k_spec, k_spec, bias_spec]
+    if n_out == 1:
+        out_specs = q_spec
+    else:
+        out_specs = [q_spec, k_spec, k_spec]
+        in_specs.append(q_spec)  # the incoming cotangent dO
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(B,),
+        in_specs=in_specs, out_specs=out_specs)
+
+
+def _fwd_impl(q, k, v, bias, seeds, rate, use_dropout, n_heads):
+    from jax.experimental import pallas as pl
+
+    B, Sq, E = q.shape
+    Sk = k.shape[1]
+    scale = 1.0 / ((E // n_heads) ** 0.5)
+    kernel = functools.partial(_fwd_kernel, scale=scale,
+                               use_dropout=use_dropout, n_heads=n_heads)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=_grid_spec(B, Sq, Sk, E, n_out=1),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, E), q.dtype),
+        interpret=_needs_interpret(),
+    )(seeds, rate, q, k, v, bias)
+
+
+def _bwd_impl(q, k, v, bias, seeds, rate, do, use_dropout, n_heads):
+    from jax.experimental import pallas as pl
+
+    B, Sq, E = q.shape
+    Sk = k.shape[1]
+    scale = 1.0 / ((E // n_heads) ** 0.5)
+    kernel = functools.partial(_bwd_kernel, scale=scale,
+                               use_dropout=use_dropout, n_heads=n_heads)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=_grid_spec(B, Sq, Sk, E, n_out=3),
+        out_shape=[jax.ShapeDtypeStruct((B, Sq, E), q.dtype),
+                   jax.ShapeDtypeStruct((B, Sk, E), k.dtype),
+                   jax.ShapeDtypeStruct((B, Sk, E), v.dtype)],
+        interpret=_needs_interpret(),
+    )(seeds, rate, q, k, v, bias, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_attention_train(q, k, v, bias, seeds, rate, use_dropout,
+                          n_heads):
+    """Fused multi-head attention with optional in-kernel weight dropout.
+
+    q [B,Sq,E], k/v [B,Sk,E] in model layout (E = n_heads·head_dim);
+    bias head-shared [B,Sq,Sk]; seeds [B] int32; rate [1] float32.
+    `use_dropout` and `n_heads` are static; with use_dropout=False the
+    seeds/rate inputs are ignored. Returns [B,Sq,E].
+    """
+    return _fwd_impl(q, k, v, bias, seeds, rate, use_dropout, n_heads)
+
+
+def _vjp_fwd(q, k, v, bias, seeds, rate, use_dropout, n_heads):
+    out = _fwd_impl(q, k, v, bias, seeds, rate, use_dropout, n_heads)
+    return out, (q, k, v, bias, seeds, rate)
+
+
+def _vjp_bwd(use_dropout, n_heads, res, g):
+    q, k, v, bias, seeds, rate = res
+    dq, dk, dv = _bwd_impl(q, k, v, bias, seeds, rate, g, use_dropout,
+                           n_heads)
+    # bias is a mask constant in this framework; int seeds take float0.
+    dbias = jnp.zeros_like(bias)
+    dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
+    drate = jnp.zeros_like(rate)
+    return dq, dk, dv, dbias, dseeds, drate
+
+
+fused_attention_train.defvjp(_vjp_fwd, _vjp_bwd)
