@@ -65,6 +65,11 @@ def main() -> None:
     setup_compilation_cache()
     import jax
 
+    # Hardware RNG for dropout bits: measured ~10% step-time saving over
+    # threefry on this workload (scripts/bench_attribution.py).
+    if os.environ.get("BENCH_RNG", "rbg") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     from sign_language_nlp_tpu.models.registry import build_model
     from sign_language_nlp_tpu.training.engine import (PopulationTrainer,
                                                        TrainConfig,

@@ -45,19 +45,27 @@ def main():
     tr, va = rows[: int(n * 0.8)], rows[int(n * 0.8):]
     P, epochs = 64, 2
     rng = np.random.default_rng(1)
-    lrs = rng.uniform(0.001, 0.1, P).astype(np.float32)
-    drops = rng.choice([0.1, 0.5], P).astype(np.float32)
 
     for variant in variants:
+        if variant.startswith("big"):
+            # The reference grid's largest point: emb 1024 → head dim
+            # 128 (lane/MXU-aligned) — where the fused kernel should win.
+            margs_v = dict(margs, embedding_size=1024, hidden_size=512,
+                           num_layers=2, num_heads=8)
+            P_v = 16
+        else:
+            margs_v, P_v = margs, P
+        lrs = rng.uniform(0.001, 0.1, P_v).astype(np.float32)
+        drops = rng.choice([0.1, 0.5], P_v).astype(np.float32)
         if variant == "rbg":
             jax.config.update("jax_default_prng_impl", "rbg")
         else:
             jax.config.update("jax_default_prng_impl", "threefry2x32")
         dtype = "bfloat16" if variant == "bf16" else "float32"
-        compat = ({"attn_backend": "pallas"} if variant.startswith("pallas")
+        compat = ({"attn_backend": "pallas"} if "pallas" in variant
                   else {})
         model = build_model("model.Transformer", vs, vt, 1, 1,
-                            model_args=margs, compat_args=compat,
+                            model_args=margs_v, compat_args=compat,
                             precision_args={"compute_dtype": dtype})
         cfg = TrainConfig(batch_size=50, max_epochs=1, seed=0, verbose=0,
                           optimizer_args={"momentum": 0.9},
@@ -65,7 +73,7 @@ def main():
                           scoring=("accuracy",), keep_best_params=False,
                           train_deterministic=(variant == "nodrop"))
         trainer = PopulationTrainer(model, 1, vt, cfg)
-        task = TrainTask(train_rows=[tr] * P, valid_rows=[va] * P,
+        task = TrainTask(train_rows=[tr] * P_v, valid_rows=[va] * P_v,
                          lr=lrs, dropout=drops)
         t0 = time.time()
         trainer.fit(data, task)  # compile + 1 epoch

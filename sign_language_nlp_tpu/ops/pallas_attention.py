@@ -106,24 +106,24 @@ fused_attention.defvjp(_fwd, _bwd)
 
 
 def multi_head_attention_pallas(q, k, v, bias, *, num_heads: int):
-    """[B, S, E] q/k/v + broadcastable bias → [B, S, E], via the fused
-    kernel. Drop-in for ops.attention.multi_head_attention's core
-    (without attention-dropout, which the XLA path handles when
-    training with dropout enabled)."""
+    """[B, S, E] q/k/v + broadcastable bias → [B, S, E] via the fused
+    multi-head kernel (pallas_attention_train with dropout off).
+
+    Inputs stay in model layout — a head-split [B·H, S, D] HBM layout
+    pads the D=E/H lane dim up to 128 and multiplies HBM footprint
+    (observed 4x → OOM); the kernel splits heads internally instead."""
+    import numpy as np
+
+    from .pallas_attention_train import fused_attention_train
+
     B, Sq, E = q.shape
     Sk = k.shape[1]
-    D = E // num_heads
-    qh = q.reshape(B, Sq, num_heads, D).transpose(0, 2, 1, 3)
-    kh = k.reshape(B, Sk, num_heads, D).transpose(0, 2, 1, 3)
-    vh = v.reshape(B, Sk, num_heads, D).transpose(0, 2, 1, 3)
     if bias is None:
-        bias_full = jnp.zeros((B, num_heads, Sq, Sk), jnp.float32)
+        bias_hs = jnp.zeros((B, Sq, Sk), jnp.float32)
     else:
-        bias_full = jnp.broadcast_to(bias, (B, num_heads, Sq, Sk))
-    out = fused_attention(
-        qh.reshape(B * num_heads, Sq, D),
-        kh.reshape(B * num_heads, Sk, D),
-        vh.reshape(B * num_heads, Sk, D),
-        bias_full.reshape(B * num_heads, Sq, Sk).astype(jnp.float32))
-    return out.reshape(B, num_heads, Sq, D).transpose(0, 2, 1, 3).reshape(
-        B, Sq, E)
+        b4 = jnp.broadcast_to(bias, (B, 1) + bias.shape[-2:])
+        bias_hs = jnp.broadcast_to(b4[:, 0], (B, Sq, Sk))
+    seeds = jnp.zeros((B,), jnp.int32)  # unused (dropout off)
+    rate = jnp.zeros((1,), jnp.float32)
+    return fused_attention_train(q, k, v, bias_hs.astype(jnp.float32),
+                                 seeds, rate, False, num_heads)
