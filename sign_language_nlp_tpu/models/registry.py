@@ -64,7 +64,7 @@ def build_model(name: str, src_vocab_size: int, tgt_vocab_size: int,
               if k in allowed and v is not None}
     compat = {k: v for k, v in (compat_args or {}).items()
               if k in ("causal_encoder", "mask_memory", "tgt_input",
-                       "attn_backend")}
+                       "attn_backend", "scan_layers")}
     if cls is not Transformer:
         compat = {}
     dtype_name = (precision_args or {}).get("compute_dtype")

@@ -140,6 +140,41 @@ class DecoderLayer(nn.Module):
         return nn.LayerNorm(name="norm3")(x + drop(ff))
 
 
+class _EncoderLayerScan(nn.Module):
+    """EncoderLayer adapted to nn.scan's (carry, *broadcast) protocol."""
+
+    d_model: int
+    num_heads: int
+    hidden_size: int
+    backend: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias, rate, deterministic):
+        out = EncoderLayer(self.d_model, self.num_heads, self.hidden_size,
+                           self.backend, self.dtype, name="layer")(
+            x, bias, rate, deterministic)
+        return out, None
+
+
+class _DecoderLayerScan(nn.Module):
+    """DecoderLayer adapted to nn.scan's (carry, *broadcast) protocol."""
+
+    d_model: int
+    num_heads: int
+    hidden_size: int
+    backend: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, self_bias, cross_bias, rate,
+                 deterministic):
+        out = DecoderLayer(self.d_model, self.num_heads, self.hidden_size,
+                           self.backend, self.dtype, name="layer")(
+            x, memory, self_bias, cross_bias, rate, deterministic)
+        return out, None
+
+
 class Transformer(nn.Module):
     src_vocab_size: int
     tgt_vocab_size: int
@@ -155,6 +190,11 @@ class Transformer(nn.Module):
     mask_memory: bool = False
     tgt_input: str = "label"
     attn_backend: str = "xla"  # "pallas" routes MHA through the fused kernel
+    # scan_layers stacks per-layer params [L, ...] and lax.scans over
+    # them: the compiled HLO no longer grows with num_layers, which cuts
+    # compile time ~Lx — load-bearing when the grid sweeps num_layers
+    # and every shape group pays a fresh TPU compile.
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -202,20 +242,42 @@ class Transformer(nn.Module):
 
         # --- encoder stack + final norm ---
         h = src_embed
-        for i in range(self.num_layers):
-            h = EncoderLayer(d, self.num_heads, self.hidden_size,
-                             self.attn_backend, self.dtype,
-                             name=f"encoder_layer_{i}")(
+        if self.scan_layers:
+            ScanEncoder = nn.scan(
+                _EncoderLayerScan, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.num_layers)
+            h, _ = ScanEncoder(d, self.num_heads, self.hidden_size,
+                               self.attn_backend, self.dtype,
+                               name="encoder_layers")(
                 h, src_bias, rate, deterministic)
+        else:
+            for i in range(self.num_layers):
+                h = EncoderLayer(d, self.num_heads, self.hidden_size,
+                                 self.attn_backend, self.dtype,
+                                 name=f"encoder_layer_{i}")(
+                    h, src_bias, rate, deterministic)
         memory = nn.LayerNorm(name="encoder_norm")(h)
 
         # --- decoder stack + final norm ---
         g = tgt_embed
-        for i in range(self.num_layers):
-            g = DecoderLayer(d, self.num_heads, self.hidden_size,
-                             self.attn_backend, self.dtype,
-                             name=f"decoder_layer_{i}")(
+        if self.scan_layers:
+            ScanDecoder = nn.scan(
+                _DecoderLayerScan, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 5,
+                length=self.num_layers)
+            g, _ = ScanDecoder(d, self.num_heads, self.hidden_size,
+                               self.attn_backend, self.dtype,
+                               name="decoder_layers")(
                 g, memory, tgt_bias, cross_bias, rate, deterministic)
+        else:
+            for i in range(self.num_layers):
+                g = DecoderLayer(d, self.num_heads, self.hidden_size,
+                                 self.attn_backend, self.dtype,
+                                 name=f"decoder_layer_{i}")(
+                    g, memory, tgt_bias, cross_bias, rate, deterministic)
         g = nn.LayerNorm(name="decoder_norm")(g)
 
         # --- classification head: linear → log_softmax → [B, V] ---

@@ -54,7 +54,10 @@ def save_cv_results(cv_results: dict, phase: str, workdir: str,
     """<workdir>/<phase>_results.csv (reference helper.py:429-433)."""
     import pandas as pd
 
+    from .utils import create_if_missing
+
     log("Saving CV results...")
+    create_if_missing(workdir)
     df = pd.DataFrame(cv_results)
     df.to_csv(f"{workdir}/{phase}_results.csv")
 
@@ -186,14 +189,21 @@ def tune_hyperparams(driver: GridSearchDriver, train_data: AslDataset,
     save_cv_results(result.cv_results, phase=phase, workdir=workdir)
 
     # Persist the refit best model (skorch Checkpoint analogue,
-    # reference helper.py:211-212).
+    # reference helper.py:211-212). Vocabularies ride along so a later
+    # process can tokenize and decode without rebuilding the corpus.
     from .training.checkpoint import save_checkpoint
 
     save_checkpoint(workdir, result.best_model_params, {
         "model": args["model"],
         "best_params": result.best_params,
+        "model_args": {**(args.get("model_args") or {}),
+                       **{k[len("module__"):]: v
+                          for k, v in result.best_params.items()
+                          if k.startswith("module__")}},
         "src_vocab_size": driver.src_vocab_size,
         "tgt_vocab_size": driver.tgt_vocab_size,
+        "src_vocab_itos": train_data.src_vocab.itos,
+        "tgt_vocab_itos": train_data.tgt_vocab.itos,
     })
     return result
 

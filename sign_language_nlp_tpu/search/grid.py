@@ -85,7 +85,10 @@ def save_param_grid(grid: ParamGrid, phase: str, workdir: str,
     helper.py:415-426 via pandas to_csv)."""
     import pandas as pd
 
+    from ..utils import create_if_missing
+
     log("Saving grid params...")
+    create_if_missing(workdir)
     cols, rows = grid.cross_product_rows()
     df = pd.DataFrame(rows, columns=cols)
     df.to_csv(f"{workdir}/{phase}_grid_params.csv")
