@@ -49,6 +49,32 @@ from .scoring import ScoringWrapper
 # Candidate keys that vary *within* a population (traced per-cell):
 _VECTOR_KEYS = ("lr", "module__dropout")
 
+# HBM budget for one population (v5e has 15.75G; leave headroom for
+# XLA temporaries and the corpus arrays):
+_HBM_BUDGET_BYTES = 9e9
+
+
+def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
+                        seq_len: int, batch: int, remat: bool) -> float:
+    """Rough f32 HBM bytes one grid cell needs during a train step:
+    4x params (params + momentum + best-checkpoint + grads) plus the
+    transformer's live activations — dominated by the O(B·H·S²·layers)
+    attention tensors unless remat drops them."""
+    E = int(model_args.get("embedding_size") or 256)
+    F = int(model_args.get("hidden_size") or E)
+    L = int(model_args.get("num_layers") or 2)
+    H = int(model_args.get("num_heads") or 1)
+    params = (src_vocab + tgt_vocab) * E \
+        + L * (4 * E * E + 2 * E * F) \
+        + L * (8 * E * E + 2 * E * F) \
+        + E * tgt_vocab
+    act = batch * seq_len * E * L * 12
+    scores = batch * H * seq_len * seq_len * L * (1 if remat else 3)
+    # 2.5x: calibrated against an observed OOM (20 cells of a ~300MB
+    # static estimate exhausted a 15.75G chip) — XLA temporaries and
+    # layout padding roughly double-to-triple the static accounting.
+    return (4.0 * (params * 4) + (act + scores) * 4) * 2.5
+
 
 @dataclass
 class SearchResult:
@@ -183,8 +209,22 @@ class GridSearchDriver:
                 candidates[cand_ids[0]])
             trainer = self._trainer_for(model, nested_first)
 
-            for start in range(0, len(pending), self.max_population):
-                chunk = pending[start:start + self.max_population]
+            # Memory-aware population cap for this shape group:
+            margs = dict(self.base_model_args)
+            margs.update(candidate_to_nested(
+                candidates[cand_ids[0]])["model_args"])
+            per_cell = estimate_cell_bytes(
+                margs, self.src_vocab_size, self.tgt_vocab_size,
+                int(np.asarray(data[0]).shape[1]),
+                self.train_config.batch_size, self.train_config.remat)
+            fit_cap = max(1, int(_HBM_BUDGET_BYTES // max(per_cell, 1.0)))
+            pop = max(1, min(self.max_population, fit_cap))
+            if pop < len(pending) and self.verbose:
+                log(f"  population capped at {pop} cells "
+                    f"(~{per_cell / 1e6:.0f} MB/cell)")
+
+            for start in range(0, len(pending), pop):
+                chunk = pending[start:start + pop]
                 self._run_chunk(chunk, candidates, folds, data, trainer,
                                 scoring, scores, fit_times, score_times,
                                 manifest)
