@@ -145,9 +145,39 @@ def run(args: dict) -> dict:
     log(f"> Test data: {len(test_data)} entries")
 
     driver = build_driver(args, dataset, mesh=mesh)
-    result = tune_hyperparams(driver, train_data, args)
+    if (args.get("mode") or "grid") == "train":
+        result = train_single(driver, train_data, args)
+    else:
+        result = tune_hyperparams(driver, train_data, args)
     test_output = test_model(driver, result, test_data, args)
     return {"search": result, "test": test_output}
+
+
+def train_single(driver: GridSearchDriver, train_data: AslDataset,
+                 args: dict):
+    """`--mode train`: one fit with the configured hyperparameters (no
+    grid search) — the reference accepts the mode flag (args.py:11);
+    here it short-circuits the search to a single refit-style fit."""
+    log("\n==================== TRAINING (single fit) "
+        "====================\n")
+    if args.get("lr") is None:
+        raise ValueError("--mode train requires a top-level `lr`")
+    from .search.grid import ParamGrid
+    from .search.scoring import ScoringWrapper
+
+    scoring_names = args.get("scoring") or ["accuracy"]
+    if not isinstance(scoring_names, list):
+        scoring_names = [scoring_names]
+    scorer = ScoringWrapper(scoring_names[0], labels=train_data.labels())
+    grid = ParamGrid({"lr": [float(args["lr"])]})
+    data = (train_data.tokens, train_data.lengths, train_data.labels_idx)
+    result = driver.search(data, train_data.labels_idx, grid, scorer,
+                           phase="train")
+    save_output({"best_score": float(result.best_score),
+                 "best_params": result.best_params,
+                 "scoring": repr(scorer)},
+                phase="train", workdir=args.get("workdir") or ".")
+    return result
 
 
 def tune_hyperparams(driver: GridSearchDriver, train_data: AslDataset,

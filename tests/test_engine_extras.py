@@ -1,0 +1,72 @@
+"""Remat equivalence, memory cost model, and mode=train coverage."""
+import numpy as np
+import pytest
+
+from sign_language_nlp_tpu.models.registry import build_model
+from sign_language_nlp_tpu.search.driver import estimate_cell_bytes
+from sign_language_nlp_tpu.training.engine import (PopulationTrainer,
+                                                   TrainConfig, TrainTask)
+from tests.test_training import _toy_data
+
+
+def test_remat_matches_baseline():
+    """jax.checkpoint must not change training numerics."""
+    data, labels = _toy_data(n=32)
+    rows = np.arange(len(labels))
+    outs = {}
+    for remat in (False, True):
+        model = build_model("model.Transformer", 12, 8, 1, 1,
+                            model_args={"embedding_size": 16,
+                                        "hidden_size": 16,
+                                        "num_layers": 1, "num_heads": 2,
+                                        "dropout": 0.0})
+        cfg = TrainConfig(batch_size=16, max_epochs=2, seed=0, verbose=0,
+                          scoring=("accuracy",), remat=remat)
+        trainer = PopulationTrainer(model, 1, 8, cfg)
+        task = TrainTask(train_rows=[rows[:24]], valid_rows=[rows[24:]],
+                         lr=np.array([0.1], np.float32),
+                         dropout=np.array([0.0], np.float32))
+        outs[remat] = trainer.fit(data, task)["history"]["valid_loss"]
+    np.testing.assert_allclose(outs[False], outs[True], rtol=1e-5)
+
+
+def test_estimate_cell_bytes_scaling():
+    base = dict(embedding_size=128, hidden_size=128, num_layers=2,
+                num_heads=4)
+    b0 = estimate_cell_bytes(base, 1000, 100, 64, 50, remat=False)
+    # Longer sequences cost superlinearly through attention:
+    b_long = estimate_cell_bytes(base, 1000, 100, 256, 50, remat=False)
+    assert b_long > 2 * b0
+    # remat strictly reduces the bound:
+    assert estimate_cell_bytes(base, 1000, 100, 256, 50, remat=True) < b_long
+    # Bigger vocab -> bigger params:
+    assert estimate_cell_bytes(base, 100000, 100, 64, 50, False) > b0
+
+
+def test_mode_train_pipeline(asl_corpus_dir, tmp_path):
+    from sign_language_nlp_tpu.pipeline import run
+    from tests.conftest import FIELDS
+
+    workdir = str(tmp_path / "train-mode")
+    args = {
+        "seed": 1, "debug": False, "cuda": False, "verbose": 0,
+        "n_jobs": 1, "cv": 2, "lr": 0.3, "mode": "train",
+        "scoring": ["accuracy"], "max_epochs": 2, "batch_size": 16,
+        "test_size": 0.15,
+        "model": "model.EncoderDecoderGRUAttn",
+        "model_args": {"embedding_size": 8, "hidden_size": 8,
+                       "num_layers": 1, "dropout": 0.0},
+        "criterion": "torch.nn.CrossEntropyLoss",
+        "optimizer": "torch.optim.SGD", "optimizer_args": {},
+        "grid_args": {},
+        "dataset_args": {"dataset_dir": asl_corpus_dir, "fields": FIELDS,
+                         "samples_min_freq": 2,
+                         "composition_strategy": "as_words"},
+        "workdir": workdir,
+    }
+    out = run(args)
+    import os
+
+    assert os.path.exists(os.path.join(workdir, "train_output.json"))
+    assert os.path.exists(os.path.join(workdir, "test_output.json"))
+    assert 0.0 <= out["test"]["test_accuracy"] <= 1.0
