@@ -19,7 +19,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CORPUS = Path("work/synth-corpus")
-WORKDIR = Path("work/full-shape-exp")
 
 GRIDS = {
     # 4 candidates × 5 folds = 20 fits, one shape group:
@@ -38,6 +37,9 @@ def main():
     ap.add_argument("--classes", type=int, default=100)
     ap.add_argument("--samples", type=int, default=2000)
     args = ap.parse_args()
+
+    # Per-model workdir so manifests don't cross-resume between models:
+    workdir = Path(f"work/full-shape-exp-{args.model.split('.')[-1]}")
 
     if not CORPUS.exists():
         from scripts.make_synth_corpus import make_corpus
@@ -78,7 +80,7 @@ def main():
             "reuse_transient": True, "balance_dataset": True,
             "use_native": True,
         },
-        "workdir": str(WORKDIR),
+        "workdir": str(workdir),
         "mesh_args": {"max_population": 32},
         "precision_args": {},
         "compat_args": {},
@@ -88,7 +90,7 @@ def main():
     run(run_args)
     wall = time.time() - t0
     log(f"TOTAL WALL: {wall:.1f}s")
-    out = json.loads((WORKDIR / "test_output.json").read_text())
+    out = json.loads((workdir / "test_output.json").read_text())
     print(json.dumps({"wall_s": round(wall, 1), **out}))
 
 

@@ -15,7 +15,7 @@ import sys
 
 from .config import ARGUMENTS, load_args
 from .parallel import initialize_distributed
-from .utils import dump_args, format_dir, log, set_verbosity
+from .utils import dump_args, format_dir, set_verbosity
 from .utils.jaxtools import setup_compilation_cache
 
 

@@ -12,7 +12,6 @@ writes the same artifact set (SURVEY.md §5 'output-fidelity contract'):
 from __future__ import annotations
 
 import random
-from typing import Any, Optional
 
 import numpy as np
 

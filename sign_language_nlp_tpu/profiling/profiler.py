@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Any
-
 from ..utils import create_if_missing, log, save_items, save_json
 
 

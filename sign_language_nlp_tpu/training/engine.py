@@ -38,7 +38,7 @@ batches; `shuffle=False` reproduces that, `shuffle=True` is available.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
