@@ -376,7 +376,18 @@ class PopulationTrainer:
 
         history: list = []
         base_key = jax.random.key(cfg.seed + 1)
+        n_pad = n_train_batches * batch
         for epoch in range(cfg.max_epochs):
+            if cfg.shuffle:
+                # Per-epoch, per-cell permutation of the valid row prefix
+                # (padding rows stay in place so batch weights hold).
+                rng_np = np.random.default_rng(
+                    (cfg.seed + 1) * 100003 + epoch)
+                idx_host = np.zeros((P, n_pad), np.int32)
+                for i, r in enumerate(task.train_rows):
+                    r = np.asarray(r, np.int32)
+                    idx_host[i, :len(r)] = r[rng_np.permutation(len(r))]
+                train_idx = self._shard_population(jnp.asarray(idx_host))
             rngs = jax.vmap(
                 lambda i: jax.random.fold_in(
                     jax.random.fold_in(base_key, epoch), i))(jnp.arange(P))

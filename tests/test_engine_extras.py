@@ -70,3 +70,30 @@ def test_mode_train_pipeline(asl_corpus_dir, tmp_path):
     assert os.path.exists(os.path.join(workdir, "train_output.json"))
     assert os.path.exists(os.path.join(workdir, "test_output.json"))
     assert 0.0 <= out["test"]["test_accuracy"] <= 1.0
+
+
+def test_shuffle_changes_batch_order_not_results_shape():
+    data, labels = _toy_data(n=48)
+    rows = np.arange(len(labels))
+
+    def fit(shuffle):
+        model = build_model("model.EncoderDecoderGRUAttn", 12, 8, 1, 1,
+                            model_args={"embedding_size": 8,
+                                        "hidden_size": 8,
+                                        "num_layers": 1, "dropout": 0.0})
+        cfg = TrainConfig(batch_size=16, max_epochs=3, seed=0, verbose=0,
+                          scoring=("accuracy",), shuffle=shuffle)
+        trainer = PopulationTrainer(model, 1, 8, cfg)
+        task = TrainTask(train_rows=[rows[:32]], valid_rows=[rows[32:]],
+                         lr=np.array([0.3], np.float32),
+                         dropout=np.array([0.0], np.float32))
+        return trainer.fit(data, task)
+
+    a = fit(False)
+    b = fit(True)
+    # Same shapes/finite results; different batch order -> different
+    # trajectories (same model/seed otherwise).
+    assert a["history"]["valid_loss"].shape == b["history"]["valid_loss"].shape
+    assert np.isfinite(b["history"]["valid_loss"]).all()
+    assert not np.allclose(a["history"]["valid_loss"],
+                           b["history"]["valid_loss"])
