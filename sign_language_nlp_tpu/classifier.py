@@ -113,6 +113,11 @@ class SignClassifier:
         e = np.exp(out - out.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
 
+    def predict_signs(self, rows=None) -> list:
+        """Predicted gloss strings (decoded via the target vocab)."""
+        itos = self.dataset.tgt_vocab.itos
+        return [itos[i] for i in self.predict(rows)]
+
     def score(self, rows=None) -> float:
         rows = self._rows(rows)
         y = self.dataset.labels_idx[rows]

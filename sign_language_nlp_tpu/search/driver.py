@@ -207,16 +207,30 @@ class GridSearchDriver:
 
             model, _, _, nested_first = self._model_for(
                 candidates[cand_ids[0]])
-            trainer = self._trainer_for(model, nested_first)
 
-            # Memory-aware population cap for this shape group:
+            # Memory-aware planning for this shape group: cap the
+            # population, and auto-enable remat when even a handful of
+            # cells would crowd the HBM budget.
             margs = dict(self.base_model_args)
             margs.update(candidate_to_nested(
                 candidates[cand_ids[0]])["model_args"])
+            seq_len = int(np.asarray(data[0]).shape[1])
             per_cell = estimate_cell_bytes(
-                margs, self.src_vocab_size, self.tgt_vocab_size,
-                int(np.asarray(data[0]).shape[1]),
+                margs, self.src_vocab_size, self.tgt_vocab_size, seq_len,
                 self.train_config.batch_size, self.train_config.remat)
+            use_remat = self.train_config.remat
+            if per_cell * 4 > _HBM_BUDGET_BYTES and not use_remat:
+                use_remat = True
+                per_cell = estimate_cell_bytes(
+                    margs, self.src_vocab_size, self.tgt_vocab_size,
+                    seq_len, self.train_config.batch_size, True)
+                if self.verbose:
+                    log("  remat enabled for this shape group "
+                        f"(~{per_cell / 1e6:.0f} MB/cell after)")
+            trainer = self._trainer_for(model, nested_first)
+            if use_remat and not trainer.config.remat:
+                trainer.config = TrainConfig(**{**trainer.config.__dict__,
+                                                "remat": True})
             fit_cap = max(1, int(_HBM_BUDGET_BYTES // max(per_cell, 1.0)))
             pop = max(1, min(self.max_population, fit_cap))
             if pop < len(pending) and self.verbose:

@@ -40,3 +40,10 @@ def test_save_load_roundtrip(clf, built_dataset, tmp_path):
                                    max_epochs=1, verbose=0)
     np.testing.assert_allclose(restored.decision_function(),
                                clf.decision_function(), rtol=1e-5)
+
+
+def test_predict_signs_decodes(clf, built_dataset):
+    signs = clf.predict_signs()
+    assert len(signs) == len(built_dataset)
+    vocab = set(built_dataset.tgt_vocab.itos)
+    assert all(s in vocab for s in signs)

@@ -85,3 +85,45 @@ def test_candidate_to_nested():
     assert nested["optimizer_args"] == {"momentum": 0.9}
     assert nested["criterion_args"] == {"ignore_index": 1}
     assert nested["callbacks_args"] == {"early_stopping__patience": 3}
+
+
+def test_full_transformer_grid_shape_grouping():
+    # The reference transformer grid (324 candidates) must split into
+    # 54 shape groups (emb x hid x layers x heads) of 6 same-shape
+    # candidates (lr x dropout) each — the population batching plan.
+    from sign_language_nlp_tpu.search.driver import _VECTOR_KEYS
+
+    grid = build_param_grid({
+        "lr": [0.1, 0.01, 0.001],
+        "model_args": {
+            "embedding_size": [1024, 512, 128],
+            "hidden_size": [512, 256, 128],
+            "num_layers": [6, 4, 2],
+            "dropout": [0.5, 0.1],
+            "num_heads": [8, 4],
+        },
+    })
+    groups = {}
+    for cand in grid.candidates():
+        key = tuple(sorted((k, v) for k, v in cand.items()
+                           if k not in _VECTOR_KEYS))
+        groups.setdefault(key, []).append(cand)
+    assert len(groups) == 54
+    assert all(len(v) == 6 for v in groups.values())
+
+
+def test_memory_cap_for_reference_grid_points():
+    # Every reference grid point must fit at least one cell on a 16G
+    # chip under the calibrated cost model WITH remat (the driver
+    # auto-enables it for crowded shape groups; ASL-scale vocab/seq).
+    from sign_language_nlp_tpu.search.driver import (_HBM_BUDGET_BYTES,
+                                                     estimate_cell_bytes)
+
+    for emb in (1024, 512, 128):
+        for layers in (6, 4, 2):
+            per_cell = estimate_cell_bytes(
+                {"embedding_size": emb, "hidden_size": 512,
+                 "num_layers": layers, "num_heads": 8},
+                src_vocab=2000, tgt_vocab=200, seq_len=128, batch=50,
+                remat=True)
+            assert per_cell < _HBM_BUDGET_BYTES, (emb, layers, per_cell)
