@@ -182,6 +182,13 @@ class GridSearchDriver:
 
         manifest = self._load_manifest(phase)
 
+        def cell_key(ci: int, fi: int) -> str:
+            # Content-addressed: resuming with a DIFFERENT grid in the
+            # same workdir must not alias by candidate index.
+            from ..utils import get_hash
+
+            return f"{get_hash(candidates[ci])}:{fi}"
+
         # Group cells by shape signature:
         groups: dict = {}
         for ci, cand in enumerate(candidates):
@@ -194,9 +201,9 @@ class GridSearchDriver:
         for key, cand_ids in groups.items():
             cells = [(ci, fi) for ci in cand_ids for fi in range(n_folds)]
             pending = [c for c in cells
-                       if f"{c[0]}:{c[1]}" not in manifest]
+                       if cell_key(*c) not in manifest]
             for c in cells:
-                mkey = f"{c[0]}:{c[1]}"
+                mkey = cell_key(*c)
                 if mkey in manifest:
                     rec = manifest[mkey]
                     scores[c[0], c[1]] = rec["score"]
@@ -241,7 +248,7 @@ class GridSearchDriver:
                 chunk = pending[start:start + pop]
                 self._run_chunk(chunk, candidates, folds, data, trainer,
                                 scoring, scores, fit_times, score_times,
-                                manifest)
+                                manifest, cell_key)
                 self._flush_manifest(phase, manifest)
 
         return self._assemble_result(candidates, grid, scores, fit_times,
@@ -249,7 +256,8 @@ class GridSearchDriver:
 
     # ------------------------------------------------------------------
     def _run_chunk(self, chunk, candidates, folds, data, trainer, scoring,
-                   scores, fit_times, score_times, manifest) -> None:
+                   scores, fit_times, score_times, manifest,
+                   cell_key) -> None:
         y_all = np.asarray(data[2])
         # Pad the population to a multiple of the mesh size (padded cells
         # duplicate the last cell and are ignored when recording).
@@ -293,7 +301,7 @@ class GridSearchDriver:
             scores[ci, fi] = s
             fit_times[ci, fi] = fit_share[k]
             score_times[ci, fi] = score_wall / len(chunk)
-            manifest[f"{ci}:{fi}"] = {
+            manifest[cell_key(ci, fi)] = {
                 "score": float(s), "fit_time": float(fit_share[k]),
                 "score_time": float(score_wall / len(chunk)),
                 "epochs": int(epochs[k]),
