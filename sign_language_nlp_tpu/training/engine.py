@@ -396,7 +396,22 @@ class PopulationTrainer:
                 train_idx, train_w, valid_idx, valid_w, rate, rngs)
             rec_host = {k: np.asarray(v) for k, v in record.items()}
             history.append(rec_host)
-            if cfg.verbose >= 2:
+            if cfg.verbose >= 3 and P == 1:
+                # skorch print_log-style epoch table for single fits
+                # (reference observability, helper.py:287 print_log).
+                if epoch == 0:
+                    cols = ["epoch", "train_loss", "valid_loss",
+                            *[f"valid_{m}" for m in cfg.scoring], "lr"]
+                    log("  ".join(f"{c:>12}" for c in cols))
+                    log("  ".join("-" * 12 for _ in cols))
+                vals = [f"{epoch + 1:>12}",
+                        f"{float(rec_host['train_loss'][0]):>12.4f}",
+                        f"{float(rec_host['valid_loss'][0]):>12.4f}",
+                        *[f"{float(rec_host[f'valid_{m}'][0]):>12.4f}"
+                          for m in cfg.scoring],
+                        f"{float(rec_host['lr'][0]):>12.5f}"]
+                log("  ".join(vals))
+            elif cfg.verbose >= 2:
                 log(f"epoch {epoch + 1}: "
                     f"valid_loss={rec_host['valid_loss'].round(4)} "
                     f"stopped={int(rec_host['stopped'].sum())}/{P}")
