@@ -138,3 +138,78 @@ def test_early_stopping_ends_fit_early():
     out = trainer.fit(data, task)
     assert int(out["epochs_run"][0]) < 30
     assert bool(out["monitor"].stopped[0])
+
+
+def test_plateau_matches_torch_scheduler():
+    """Our per-cell ReduceLROnPlateau must track torch's exactly over an
+    arbitrary loss sequence (factor/patience/threshold semantics)."""
+    import torch
+
+    losses = [1.0, 0.99, 0.995, 0.99, 0.99, 0.99, 0.99, 0.99, 0.99,
+              0.5, 0.51, 0.52, 0.50, 0.50, 0.50, 0.50, 0.50, 0.49]
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.2, patience=3, threshold=1e-4,
+        threshold_mode="rel")
+    st = init_monitor_state(jnp.array([1.0]))
+    plateau = PlateauConfig(factor=0.2, patience=3, threshold=1e-4,
+                            threshold_mode="rel", enabled=True)
+    es = EarlyStopConfig(enabled=False)
+    torch_lrs, ours_lrs = [], []
+    for loss in losses:
+        sched.step(loss)
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        st, _ = update_monitor_state(st, jnp.array([loss]), plateau, es)
+        ours_lrs.append(float(st.lr[0]))
+    np.testing.assert_allclose(ours_lrs, torch_lrs, rtol=1e-6)
+
+
+def test_sgd_momentum_matches_torch():
+    """The functional SGD must track torch.optim.SGD step-for-step
+    (momentum buffer semantics, nesterov variant)."""
+    import torch
+
+    from sign_language_nlp_tpu.training.optimizers import resolve_optimizer
+
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(5)]
+
+    for nesterov in (False, True):
+        t_w = torch.nn.Parameter(torch.tensor(w0.copy()))
+        t_opt = torch.optim.SGD([t_w], lr=0.1, momentum=0.9,
+                                nesterov=nesterov)
+        update, init = resolve_optimizer(
+            "torch.optim.SGD", {"momentum": 0.9, "nesterov": nesterov})
+        params = {"w": jnp.asarray(w0)}
+        state = init(params)
+        for g in grads:
+            t_opt.zero_grad()
+            t_w.grad = torch.tensor(g)
+            t_opt.step()
+            params, state = update(params, {"w": jnp.asarray(g)}, state,
+                                   jnp.float32(0.1))
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   t_w.detach().numpy(), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_grad_clip_matches_torch():
+    import torch
+
+    from sign_language_nlp_tpu.training.optimizers import clip_by_global_norm
+
+    rng = np.random.default_rng(1)
+    g1 = rng.normal(size=(5, 2)).astype(np.float32) * 3
+    g2 = rng.normal(size=(7,)).astype(np.float32) * 3
+    t1, t2 = torch.tensor(g1.copy()), torch.tensor(g2.copy())
+    torch.nn.utils.clip_grad_norm_([torch.nn.Parameter(torch.zeros(1))], 1.0)
+    p1 = torch.nn.Parameter(torch.zeros_like(t1)); p1.grad = t1
+    p2 = torch.nn.Parameter(torch.zeros_like(t2)); p2.grad = t2
+    torch.nn.utils.clip_grad_norm_([p1, p2], max_norm=0.5)
+    ours = clip_by_global_norm({"a": jnp.asarray(g1), "b": jnp.asarray(g2)},
+                               0.5)
+    np.testing.assert_allclose(np.asarray(ours["a"]), p1.grad.numpy(),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours["b"]), p2.grad.numpy(),
+                               rtol=1e-4)
