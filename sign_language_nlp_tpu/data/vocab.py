@@ -48,6 +48,18 @@ class Vocab:
             counter.update(seq)
         return cls(counter, **kwargs)
 
+    @classmethod
+    def from_itos(cls, itos: Sequence[str]) -> "Vocab":
+        """Rebuild a vocab from a persisted index→token list (checkpoint
+        descriptors store `itos`; frequencies are not needed for
+        inference)."""
+        v = cls.__new__(cls)
+        v.freqs = Counter()
+        v.itos = list(itos)
+        v.stoi = {w: i for i, w in enumerate(v.itos)}
+        v.unk_index = v.stoi.get(UNK_WORD)
+        return v
+
     def __len__(self) -> int:
         return len(self.itos)
 
