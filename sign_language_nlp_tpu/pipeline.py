@@ -85,6 +85,10 @@ def _train_config_from_args(args: dict) -> TrainConfig:
         scoring=tuple(scoring),
         seed=int(args["seed"]),
         verbose=int(args.get("verbose") or 1),
+        # Deep early-stopped fits (the reference's 200-epoch workload)
+        # shed finished cells from the lockstep; shallow fits don't pay
+        # the per-bucket recompiles.
+        compact=int(args["max_epochs"]) >= 100,
     )
 
 

@@ -109,6 +109,13 @@ class TrainConfig:
     # O(P·B·H·S²·layers) attention residuals from HBM at ~25-35% extra
     # step FLOPs — the enabler for large populations / long sequences.
     remat: bool = False
+    # Population compaction: when ≥ half the cells have early-stopped,
+    # shrink the lockstep population to a power-of-two bucket of live
+    # cells (frozen cells snapshot to host). Long-tail fits stop paying
+    # for finished ones — on ES-heavy grids (the reference's patience-30
+    # / 200-epoch workload) this cuts wasted epochs multiplicatively.
+    # Cost: one extra compile per power-of-two bucket (cached).
+    compact: bool = False
 
 
 def _plateau_from_config(cfg: TrainConfig) -> PlateauConfig:
@@ -374,6 +381,25 @@ class PopulationTrainer:
                 n_train_batches, n_valid_batches, batch, eval_batch)
         epoch_fn = self._epoch_fn_cache[shape_key]
 
+        # --- epoch loop (with optional population compaction) ----------
+        # `orig_of[slot]` maps a device slot to its original cell index;
+        # -1 marks padding slots added to keep power-of-two sizes.
+        # Frozen cells leave the device as host snapshots.
+        P_orig = P
+        orig_of = np.arange(P)
+        snapshots: dict = {}  # orig idx → dict of host pytrees/rows
+        cur_train_rows = list(task.train_rows)
+
+        def snapshot(slot_idx, device_slot):
+            snapshots[int(slot_idx)] = {
+                "params": jax.tree.map(
+                    lambda a: np.asarray(a[device_slot]), params),
+                "best_params": jax.tree.map(
+                    lambda a: np.asarray(a[device_slot]), best_params),
+                "monitor": jax.tree.map(
+                    lambda a: np.asarray(a[device_slot]), monitor),
+            }
+
         history: list = []
         base_key = jax.random.key(cfg.seed + 1)
         n_pad = n_train_batches * batch
@@ -384,7 +410,7 @@ class PopulationTrainer:
                 rng_np = np.random.default_rng(
                     (cfg.seed + 1) * 100003 + epoch)
                 idx_host = np.zeros((P, n_pad), np.int32)
-                for i, r in enumerate(task.train_rows):
+                for i, r in enumerate(cur_train_rows):
                     r = np.asarray(r, np.int32)
                     idx_host[i, :len(r)] = r[rng_np.permutation(len(r))]
                 train_idx = self._shard_population(jnp.asarray(idx_host))
@@ -394,9 +420,20 @@ class PopulationTrainer:
             params, opt_state, monitor, best_params, record = epoch_fn(
                 params, opt_state, monitor, best_params, data_dev,
                 train_idx, train_w, valid_idx, valid_w, rate, rngs)
-            rec_host = {k: np.asarray(v) for k, v in record.items()}
+            rec_cur = {k: np.asarray(v) for k, v in record.items()}
+            # Scatter the slot-level record into original-cell layout
+            # (frozen cells repeat their last recorded values):
+            if history:
+                rec_host = {k: v.copy() for k, v in history[-1].items()}
+            else:
+                rec_host = {k: np.zeros((P_orig,) + v.shape[1:], v.dtype)
+                            for k, v in rec_cur.items()}
+            for slot, oi in enumerate(orig_of):
+                if oi >= 0:
+                    for k in rec_cur:
+                        rec_host[k][oi] = rec_cur[k][slot]
             history.append(rec_host)
-            if cfg.verbose >= 3 and P == 1:
+            if cfg.verbose >= 3 and P_orig == 1:
                 # skorch print_log-style epoch table for single fits
                 # (reference observability, helper.py:287 print_log).
                 if epoch == 0:
@@ -414,18 +451,94 @@ class PopulationTrainer:
             elif cfg.verbose >= 2:
                 log(f"epoch {epoch + 1}: "
                     f"valid_loss={rec_host['valid_loss'].round(4)} "
-                    f"stopped={int(rec_host['stopped'].sum())}/{P}")
-            if bool(rec_host["stopped"].all()):
+                    f"stopped={int(rec_host['stopped'].sum())}/{P_orig}")
+            stopped_now = rec_cur["stopped"]
+            real = orig_of >= 0
+            if bool(stopped_now[real].all()):
                 break
+
+            # ---- compaction: shed finished cells from the lockstep ----
+            n_live = int((~stopped_now[real]).sum())
+            if (cfg.compact and n_live > 0
+                    and n_live <= (real.sum() // 2)
+                    and epoch < cfg.max_epochs - 2):
+                new_P = max(1, 1 << (n_live - 1).bit_length())
+                if self.mesh is not None:
+                    d = self.mesh.devices.size
+                    new_P = max(new_P, d)
+                    new_P = ((new_P + d - 1) // d) * d
+                if new_P < P:
+                    # Snapshot finished real cells before dropping them:
+                    for slot in range(P):
+                        oi = orig_of[slot]
+                        if oi >= 0 and stopped_now[slot] \
+                                and oi not in snapshots:
+                            snapshot(oi, slot)
+                    live_slots = [s for s in range(P)
+                                  if orig_of[s] >= 0 and not stopped_now[s]]
+                    pad_slots = (live_slots
+                                 * _ceil_div(new_P, len(live_slots))
+                                 )[: new_P - len(live_slots)]
+                    take = np.asarray(live_slots + pad_slots, np.int32)
+                    new_orig = np.concatenate([
+                        orig_of[live_slots],
+                        np.full(len(pad_slots), -1, np.int64)])
+
+                    def take0(tree):
+                        return jax.tree.map(
+                            lambda a: jnp.take(a, take, axis=0), tree)
+
+                    params = self._shard_population(take0(params))
+                    opt_state = self._shard_population(take0(opt_state))
+                    best_params = self._shard_population(take0(best_params))
+                    monitor_t = take0(monitor)
+                    # Padding slots freeze immediately:
+                    pad_mask = jnp.asarray(new_orig < 0)
+                    monitor = monitor_t._replace(
+                        stopped=monitor_t.stopped | pad_mask)
+                    train_idx = self._shard_population(take0(train_idx))
+                    train_w = self._shard_population(take0(train_w))
+                    valid_idx = self._shard_population(take0(valid_idx))
+                    valid_w = self._shard_population(take0(valid_w))
+                    rate = self._shard_population(take0(rate))
+                    cur_train_rows = [cur_train_rows[s] for s in take]
+                    orig_of = new_orig
+                    P = new_P
+                    if cfg.verbose >= 1:
+                        log(f"  population compacted to {P} slots "
+                            f"({n_live} live cells)")
 
         hist_arrays = {k: np.stack([h[k] for h in history])
                        for k in history[0]} if history else {}
+
+        if not snapshots:
+            # No compaction happened: return device-resident state (the
+            # fast path — no D2H copy of the whole population).
+            return {
+                "params": params,
+                "best_params": best_params,
+                "monitor": jax.tree.map(np.asarray, monitor),
+                "history": hist_arrays,
+                "epochs_run": np.asarray(monitor.epoch),
+            }
+
+        # ---- reassemble original-cell-ordered outputs ------------------
+        for slot in range(P):
+            oi = orig_of[slot]
+            if oi >= 0 and oi not in snapshots:
+                snapshot(oi, slot)
+
+        def assemble(field_name):
+            per_cell = [snapshots[i][field_name] for i in range(P_orig)]
+            return jax.tree.map(lambda *xs: np.stack(xs), *per_cell)
+
+        monitor_full = assemble("monitor")
         return {
-            "params": params,
-            "best_params": best_params,
-            "monitor": jax.tree.map(np.asarray, monitor),
+            "params": assemble("params"),
+            "best_params": assemble("best_params"),
+            "monitor": monitor_full,
             "history": hist_arrays,
-            "epochs_run": np.asarray(monitor.epoch),
+            "epochs_run": np.asarray(monitor_full.epoch),
         }
 
     # ------------------------------------------------------------ predict

@@ -1,4 +1,6 @@
 """Remat equivalence, memory cost model, and mode=train coverage."""
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -97,3 +99,48 @@ def test_shuffle_changes_batch_order_not_results_shape():
     assert np.isfinite(b["history"]["valid_loss"]).all()
     assert not np.allclose(a["history"]["valid_loss"],
                            b["history"]["valid_loss"])
+
+
+def test_population_compaction_matches_uncompacted():
+    """Compaction must not change any cell's results: cells that stop
+    early freeze identically, live cells continue identically (same
+    seeds -> same per-epoch dropout/rng streams are NOT required across
+    topologies, so we train deterministic)."""
+    data, labels = _toy_data(n=48)
+    rows = np.arange(len(labels))
+    P = 8
+    # Half the cells get lr=0 (flat loss -> stop at patience), half learn.
+    lrs = np.array([0.0, 0.3, 0.0, 0.3, 0.0, 0.3, 0.0, 0.3], np.float32)
+
+    def fit(compact):
+        model = build_model("model.EncoderDecoderGRUAttn", 12, 8, 1, 1,
+                            model_args={"embedding_size": 8,
+                                        "hidden_size": 8,
+                                        "num_layers": 1, "dropout": 0.0})
+        cfg = TrainConfig(batch_size=16, max_epochs=12, seed=0, verbose=0,
+                          early_stopping={"patience": 2,
+                                          "threshold": 1e-4},
+                          scoring=("accuracy",), compact=compact,
+                          train_deterministic=True)
+        trainer = PopulationTrainer(model, 1, 8, cfg)
+        task = TrainTask(train_rows=[rows[:32]] * P,
+                         valid_rows=[rows[32:]] * P,
+                         lr=lrs, dropout=np.zeros(P, np.float32))
+        return trainer, trainer.fit(data, task)
+
+    tr_a, a = fit(False)
+    tr_b, b = fit(True)
+    # Same per-cell epochs-run and final history:
+    np.testing.assert_array_equal(a["epochs_run"], b["epochs_run"])
+    np.testing.assert_allclose(a["history"]["valid_loss"][-1],
+                               b["history"]["valid_loss"][-1], rtol=1e-5)
+    # Final params identical per cell (deterministic training):
+    la, lb = (np.asarray(jax.tree.leaves(a["params"])[0]),
+              np.asarray(jax.tree.leaves(b["params"])[0]))
+    np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-6)
+    # And predictions from reassembled params match:
+    pa, _ = tr_a.predict_log_probs(a["params"], data, [rows[:8]] * P)
+    pb, _ = tr_b.predict_log_probs(
+        jax.tree.map(jnp.asarray, b["params"]), data, [rows[:8]] * P)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-4, atol=1e-5)
