@@ -116,6 +116,10 @@ class TrainConfig:
     # / 200-epoch workload) this cuts wasted epochs multiplicatively.
     # Cost: one extra compile per power-of-two bucket (cached).
     compact: bool = False
+    # Only compact when at least this many epochs may remain — a bucket
+    # compile is only worth paying for a long tail (buckets are cached,
+    # so later chunks in a grid amortize it).
+    compact_min_remaining: int = 20
 
 
 def _plateau_from_config(cfg: TrainConfig) -> PlateauConfig:
@@ -461,7 +465,7 @@ class PopulationTrainer:
             n_live = int((~stopped_now[real]).sum())
             if (cfg.compact and n_live > 0
                     and n_live <= (real.sum() // 2)
-                    and epoch < cfg.max_epochs - 2):
+                    and epoch < cfg.max_epochs - cfg.compact_min_remaining):
                 new_P = max(1, 1 << (n_live - 1).bit_length())
                 if self.mesh is not None:
                     d = self.mesh.devices.size

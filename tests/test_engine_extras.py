@@ -121,6 +121,7 @@ def test_population_compaction_matches_uncompacted():
                           early_stopping={"patience": 2,
                                           "threshold": 1e-4},
                           scoring=("accuracy",), compact=compact,
+                          compact_min_remaining=2,
                           train_deterministic=True)
         trainer = PopulationTrainer(model, 1, 8, cfg)
         task = TrainTask(train_rows=[rows[:32]] * P,
