@@ -116,3 +116,20 @@ def test_manifest_resume(pipeline_result, asl_corpus_dir):
     assert len(manifest) == 4  # 2 candidates x 2 folds
     for rec in manifest.values():
         assert "score" in rec and "epochs" in rec
+
+
+def test_predict_corpus_from_checkpoint(pipeline_result, asl_corpus_dir):
+    # The serving path: restore the refit checkpoint (with its saved
+    # vocabularies) and label the corpus without the training dataset.
+    from sign_language_nlp_tpu.predict import load_predictor, predict_corpus
+
+    workdir, _ = pipeline_result
+    model, params, src_vocab, tgt_vocab, desc = load_predictor(workdir)
+    assert desc["model"] == "model.EncoderDecoderGRUAttn"
+    assert len(src_vocab) == desc["src_vocab_size"]
+
+    preds = predict_corpus(workdir, asl_corpus_dir, fields=FIELDS)
+    assert len(preds) == 45  # all files (min_freq=1 at inference)
+    vocab = set(tgt_vocab.itos)
+    assert all(v in vocab for v in preds.values())
+    assert all(k.endswith(".json") for k in preds)
