@@ -154,7 +154,9 @@ class _EncoderLayerScan(nn.Module):
         out = EncoderLayer(self.d_model, self.num_heads, self.hidden_size,
                            self.backend, self.dtype, name="layer")(
             x, bias, rate, deterministic)
-        return out, None
+        # nn.scan requires a stable carry dtype; LayerNorm outputs f32
+        # even under a bf16 policy, so cast back to the carry's dtype.
+        return out.astype(x.dtype), None
 
 
 class _DecoderLayerScan(nn.Module):
@@ -172,7 +174,7 @@ class _DecoderLayerScan(nn.Module):
         out = DecoderLayer(self.d_model, self.num_heads, self.hidden_size,
                            self.backend, self.dtype, name="layer")(
             x, memory, self_bias, cross_bias, rate, deterministic)
-        return out, None
+        return out.astype(x.dtype), None
 
 
 class Transformer(nn.Module):

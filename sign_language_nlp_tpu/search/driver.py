@@ -68,7 +68,7 @@ def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
         + L * (4 * E * E + 2 * E * F) \
         + L * (8 * E * E + 2 * E * F) \
         + E * tgt_vocab
-    act = batch * seq_len * E * L * 12
+    act = batch * seq_len * E * L * (3 if remat else 12)
     scores = batch * H * seq_len * seq_len * L * (1 if remat else 3)
     # 2.5x: calibrated against an observed OOM (20 cells of a ~300MB
     # static estimate exhausted a 15.75G chip) — XLA temporaries and
