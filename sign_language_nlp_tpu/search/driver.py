@@ -70,10 +70,14 @@ def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
         + E * tgt_vocab
     act = batch * seq_len * E * L * (3 if remat else 12)
     scores = batch * H * seq_len * seq_len * L * (1 if remat else 3)
-    # 2.5x: calibrated against an observed OOM (20 cells of a ~300MB
-    # static estimate exhausted a 15.75G chip) — XLA temporaries and
-    # layout padding roughly double-to-triple the static accounting.
-    return (4.0 * (params * 4) + (act + scores) * 4) * 2.5
+    # Fudge factors calibrated against an observed OOM (20 cells of a
+    # ~300MB static estimate exhausted a 15.75G chip): XLA temporaries
+    # and layout padding roughly double-to-triple the static accounting.
+    # Rematerialized programs have far smaller live sets, and the driver
+    # retries with a halved population on OOM, so remat estimates can be
+    # tighter.
+    fudge = 1.5 if remat else 2.5
+    return (4.0 * (params * 4) + (act + scores) * 4) * fudge
 
 
 @dataclass
@@ -244,11 +248,25 @@ class GridSearchDriver:
                 log(f"  population capped at {pop} cells "
                     f"(~{per_cell / 1e6:.0f} MB/cell)")
 
-            for start in range(0, len(pending), pop):
+            start = 0
+            while start < len(pending):
                 chunk = pending[start:start + pop]
-                self._run_chunk(chunk, candidates, folds, data, trainer,
-                                scoring, scores, fit_times, score_times,
-                                manifest, cell_key)
+                try:
+                    self._run_chunk(chunk, candidates, folds, data, trainer,
+                                    scoring, scores, fit_times, score_times,
+                                    manifest, cell_key)
+                except Exception as e:  # noqa: BLE001 — OOM backoff
+                    msg = str(e)
+                    oomish = ("RESOURCE_EXHAUSTED" in msg
+                              or "memory" in msg.lower()
+                              or "INTERNAL" in msg)
+                    if pop > 1 and oomish:
+                        pop = max(1, pop // 2)
+                        log(f"  chunk failed ({msg[:80]}...); retrying "
+                            f"with population {pop}")
+                        continue
+                    raise
+                start += len(chunk)
                 self._flush_manifest(phase, manifest)
 
         return self._assemble_result(candidates, grid, scores, fit_times,
