@@ -50,3 +50,21 @@ def test_bf16_transformer_trains_finite():
                      dropout=np.array([0.1], np.float32))
     out = trainer.fit(data, task)
     assert np.isfinite(out["history"]["valid_loss"]).all()
+
+
+@pytest.mark.slow
+def test_lstm_learns_toy_task():
+    data, labels = _toy_data(n=64, seq=8, vocab=12, classes=4)
+    model = build_model("model.EncoderDecoderLSTMAttn", 12, 8, 1, 1,
+                        model_args={"embedding_size": 8, "hidden_size": 8,
+                                    "num_layers": 1, "dropout": 0.0})
+    cfg = TrainConfig(batch_size=16, max_epochs=15, seed=0, verbose=0,
+                      optimizer_args={"momentum": 0.9},
+                      scoring=("accuracy",))
+    trainer = PopulationTrainer(model, 1, 8, cfg)
+    rows = np.arange(len(labels))
+    task = TrainTask(train_rows=[rows[:48]], valid_rows=[rows[48:]],
+                     lr=np.array([0.5], np.float32),
+                     dropout=np.array([0.0], np.float32))
+    out = trainer.fit(data, task)
+    assert out["history"]["valid_accuracy"][-1][0] > 0.9
