@@ -93,7 +93,8 @@ def main() -> None:
     cfg = TrainConfig(batch_size=50, max_epochs=epochs, seed=0, verbose=0,
                       optimizer_args={"momentum": 0.9},
                       gradient_clipping={"gradient_clip_value": 0.5},
-                      scoring=("accuracy",), keep_best_params=False)
+                      scoring=("accuracy",), keep_best_params=False,
+                      remat=os.environ.get("BENCH_REMAT") == "1")
     trainer = PopulationTrainer(model, 1, vt, cfg)
 
     rng = np.random.default_rng(1)
