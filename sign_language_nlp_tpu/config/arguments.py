@@ -47,7 +47,14 @@ def _parse_value(arg: Argument, raw: Any) -> Any:
     if arg.type is dict or arg.type is list:
         if isinstance(raw, (dict, list)):
             return raw
-        return ast.literal_eval(str(raw))
+        try:
+            return ast.literal_eval(str(raw))
+        except (ValueError, SyntaxError):
+            if arg.type is list:
+                # `--scoring accuracy` / `--scoring accuracy,f1_weighted`:
+                # bare names parse as comma-separated strings.
+                return [s.strip() for s in str(raw).split(",") if s.strip()]
+            raise
     if arg.type is bool:
         if isinstance(raw, bool):
             return raw

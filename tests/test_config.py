@@ -86,3 +86,16 @@ def test_flatten_roundtrip():
     flat = flatten_args(nested)
     assert flat == {"a__b": 1, "a__c__d": 2, "e": 3}
     assert unflatten_args(flat) == nested
+
+
+def test_list_flag_accepts_bare_and_csv_strings(tmp_path):
+    cfg = _write_yaml(tmp_path, BASE)
+    a = load_args("t", ARGUMENTS, argv=["--config", cfg,
+                                        "--scoring", "accuracy"])
+    assert a["scoring"] == ["accuracy"]
+    a = load_args("t", ARGUMENTS, argv=[
+        "--config", cfg, "--scoring", "neg_log_loss,accuracy"])
+    assert a["scoring"] == ["neg_log_loss", "accuracy"]
+    a = load_args("t", ARGUMENTS, argv=[
+        "--config", cfg, "--scoring", "['accuracy','f1_weighted']"])
+    assert a["scoring"] == ["accuracy", "f1_weighted"]
