@@ -103,3 +103,20 @@ def test_ignore_index():
     got = float(cross_entropy_loss(logits, y.astype(np.int32),
                                    ignore_index=1))
     np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_metrics_edge_cases():
+    # Single sample, constant predictions, and a class never predicted.
+    y1 = np.array([3], np.int32)
+    p1 = np.array([2], np.int32)
+    assert float(accuracy(y1, p1)) == 0.0
+    assert float(f1_weighted(y1, p1, num_classes=N_CLASSES)) == \
+        skm.f1_score(y1, p1, average="weighted", zero_division=0,
+                     labels=np.arange(N_CLASSES))
+    y = np.zeros(10, np.int32) + 2
+    p = np.zeros(10, np.int32) + 2
+    assert float(accuracy(y, p)) == 1.0
+    np.testing.assert_allclose(
+        float(precision_weighted(y, p, num_classes=N_CLASSES)),
+        skm.precision_score(y, p, average="weighted", zero_division=0,
+                            labels=np.arange(N_CLASSES)), rtol=1e-6)

@@ -42,3 +42,21 @@ def test_native_raw_triple(asl_corpus_dir):
     assert len(src) == len(tgt) == len(files) == 44
     assert all(isinstance(s, list) for s in src)
     assert all(f.endswith(".json") for f in files)
+
+
+def test_native_skips_malformed_json(tmp_path):
+    # The C++ parser must skip unparseable/incomplete samples rather
+    # than crash or emit garbage rows.
+    import json
+
+    good = {"label": "house",
+            "frames": {"phonology": [
+                {f: {"value": "left"} for f in FIELDS}]}}
+    for i in range(2):
+        (tmp_path / f"house-{i}.json").write_text(json.dumps(good))
+    (tmp_path / "house-2.json").write_text("{not valid json!!")
+    (tmp_path / "house-3.json").write_text(json.dumps({"label": "house"}))
+    out = build_corpus_native(str(tmp_path), FIELDS, 2, "as_words")
+    assert out is not None
+    src, tgt, files = out
+    assert files == ["house-0.json", "house-1.json"]
