@@ -65,3 +65,33 @@ def test_sharded_population_matches_unsharded():
                                rtol=1e-4, atol=1e-5)
     # Cells genuinely differ (per-cell lr was respected):
     assert (np.ptp(out_mesh["history"]["valid_loss"][-1]) > 0)
+
+
+@pytest.mark.slow
+def test_driver_search_over_mesh(built_dataset):
+    """The grid driver on an 8-device mesh: a 4-cell chunk pads to 8
+    slots, trains sharded, and records only the real cells."""
+    from sign_language_nlp_tpu.search import (GridSearchDriver, ParamGrid,
+                                              ScoringWrapper)
+    from sign_language_nlp_tpu.training.engine import TrainConfig
+
+    ds = built_dataset
+    driver = GridSearchDriver(
+        model_name="model.EncoderDecoderGRUAttn",
+        src_vocab_size=len(ds.src_vocab),
+        tgt_vocab_size=len(ds.tgt_vocab),
+        src_pad_idx=1, tgt_pad_idx=1,
+        base_model_args={"embedding_size": 8, "hidden_size": 8,
+                         "num_layers": 1, "dropout": 0.0},
+        train_config=TrainConfig(batch_size=16, max_epochs=2, seed=0,
+                                 verbose=0, scoring=("accuracy",)),
+        cv=2, mesh=build_mesh({}), max_population=8, verbose=0)
+    grid = ParamGrid({"lr": [0.3, 0.01]})
+    scorer = ScoringWrapper("accuracy", labels=ds.labels())
+    data = (ds.tokens, ds.lengths, ds.labels_idx)
+    result = driver.search(data, ds.labels_idx, grid, scorer)
+    assert result.n_candidates == 2 and result.n_folds == 2
+    scores = np.concatenate([result.cv_results["split0_test_score"],
+                             result.cv_results["split1_test_score"]])
+    assert np.isfinite(scores).all()
+    assert result.best_params["lr"] in (0.3, 0.01)
