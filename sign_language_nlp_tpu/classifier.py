@@ -37,16 +37,20 @@ class SignClassifier:
                  gradient_clipping: Optional[dict] = None,
                  lr_scheduler: Optional[dict] = None,
                  scoring=("accuracy",), seed: int = 0,
-                 compat_args: Optional[dict] = None, verbose: int = 1):
+                 compat_args: Optional[dict] = None,
+                 precision_args: Optional[dict] = None, verbose: int = 1):
         self.model_name = model
         self.model_args = dict(model_args or {})
+        self.compat_args = dict(compat_args or {})
+        self.precision_args = dict(precision_args or {})
         self.dataset = dataset
         self.lr = float(lr)
         self.dropout = float(self.model_args.get("dropout") or 0.0)
         self.module = build_model(
             model, len(dataset.src_vocab), len(dataset.tgt_vocab),
             dataset.src_vocab.pad_index, dataset.tgt_vocab.pad_index,
-            model_args=self.model_args, compat_args=compat_args)
+            model_args=self.model_args, compat_args=compat_args,
+            precision_args=precision_args)
         self.config = TrainConfig(
             optimizer=optimizer, optimizer_args=optimizer_args or {},
             criterion=criterion, batch_size=batch_size,
@@ -130,6 +134,8 @@ class SignClassifier:
         assert self.params_ is not None, "call fit() first"
         return save_checkpoint(workdir, self.params_, {
             "model": self.model_name, "model_args": self.model_args,
+            "compat_args": self.compat_args,
+            "precision_args": self.precision_args,
             "lr": self.lr}, name=name)
 
     @classmethod
@@ -140,6 +146,10 @@ class SignClassifier:
         desc = load_descriptor(workdir, name)
         clf = cls(model=desc["model"], dataset=dataset,
                   model_args=desc.get("model_args"),
+                  compat_args=kwargs.pop("compat_args", None)
+                  or desc.get("compat_args"),
+                  precision_args=kwargs.pop("precision_args", None)
+                  or desc.get("precision_args"),
                   lr=desc.get("lr", 0.01), **kwargs)
         # Materialize a template with the right structure, then restore:
         import jax

@@ -20,6 +20,15 @@ from .utils.jaxtools import setup_compilation_cache
 
 
 def main(argv=None) -> dict:
+    # SLT_FORCE_CPU=1 pins the run to the host CPU platform (debug /
+    # CI / quick verification without claiming the TPU tunnel):
+    import os
+
+    if os.environ.get("SLT_FORCE_CPU") == "1":
+        from .utils.jaxtools import force_cpu
+
+        force_cpu()
+
     args = load_args("SL Transformer (TPU)", ARGUMENTS, argv=argv)
     set_verbosity(int(args.get("verbose") or 1))
     args["workdir"] = format_dir(args.get("workdir"), **args)

@@ -226,13 +226,23 @@ def tune_hyperparams(driver: GridSearchDriver, train_data: AslDataset,
     # process can tokenize and decode without rebuilding the corpus.
     from .training.checkpoint import save_checkpoint
 
-    save_checkpoint(workdir, result.best_model_params, {
+    # The disk artifact is the BEST-valid-loss params (skorch Checkpoint
+    # semantics); testing uses the in-memory final params. compat_args /
+    # precision_args are persisted so serving rebuilds the module with
+    # the same quirk flags and param-tree layout (scan_layers changes
+    # the tree structure; tgt_input/causal_encoder change predictions).
+    ckpt_params = (result.best_model_ckpt_params
+                   if result.best_model_ckpt_params is not None
+                   else result.best_model_params)
+    save_checkpoint(workdir, ckpt_params, {
         "model": args["model"],
         "best_params": result.best_params,
         "model_args": {**(args.get("model_args") or {}),
                        **{k[len("module__"):]: v
                           for k, v in result.best_params.items()
                           if k.startswith("module__")}},
+        "compat_args": args.get("compat_args") or {},
+        "precision_args": args.get("precision_args") or {},
         "src_vocab_size": driver.src_vocab_size,
         "tgt_vocab_size": driver.tgt_vocab_size,
         "src_vocab_itos": train_data.src_vocab.itos,

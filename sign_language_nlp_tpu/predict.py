@@ -36,7 +36,9 @@ def load_predictor(checkpoint_dir: str):
     tgt_vocab = Vocab.from_itos(desc["tgt_vocab_itos"])
     model = build_model(desc["model"], len(src_vocab), len(tgt_vocab),
                         src_vocab.pad_index, tgt_vocab.pad_index,
-                        model_args=desc.get("model_args"))
+                        model_args=desc.get("model_args"),
+                        compat_args=desc.get("compat_args"),
+                        precision_args=desc.get("precision_args"))
 
     # Materialize a params template with the right structure:
     sample_tokens = np.full((1, 8), src_vocab.pad_index, np.int32)
@@ -95,6 +97,13 @@ def predict_corpus(checkpoint_dir: str, dataset_dir: str, fields,
 
 
 def main(argv=None) -> None:
+    import os
+
+    if os.environ.get("SLT_FORCE_CPU") == "1":
+        from .utils.jaxtools import force_cpu
+
+        force_cpu()
+
     ap = argparse.ArgumentParser(prog="sign_language_nlp_tpu.predict")
     ap.add_argument("--checkpoint", required=True,
                     help="workdir containing params.msgpack/params.json")

@@ -88,7 +88,13 @@ class SearchResult:
     best_params: dict
     scoring: str
     best_model: Any = None            # flax module of the refit model
-    best_model_params: Any = None     # population-of-1 params pytree
+    best_model_params: Any = None     # population-of-1 FINAL params pytree
+    # Best-valid-loss params of the refit — what the reference's skorch
+    # Checkpoint(monitor='valid_loss_best') writes to disk
+    # (helper.py:211-212). Testing still uses the final params, matching
+    # GridSearchCV's in-memory refit estimator (LoadInitState is dead
+    # code in the reference).
+    best_model_ckpt_params: Any = None
     n_candidates: int = 0
     n_folds: int = 0
 
@@ -135,7 +141,8 @@ class GridSearchDriver:
         return model, float(lr), float(dropout or 0.0), nested
 
     def _trainer_for(self, model, nested_first: dict,
-                     mesh="inherit") -> PopulationTrainer:
+                     mesh="inherit",
+                     keep_best: bool = False) -> PopulationTrainer:
         from ..training.callbacks import apply_callback_overrides
 
         cfg = self.train_config
@@ -143,8 +150,14 @@ class GridSearchDriver:
         opt_args.update(nested_first.get("optimizer_args", {}))
         crit_args = dict(cfg.criterion_args)
         crit_args.update(nested_first.get("criterion_args", {}))
+        # Grid cells score with their FINAL params (skorch nets score
+        # with end-of-fit state), so tracking best-valid params would
+        # pay a params-sized HBM copy per cell that nothing reads; only
+        # the refit (whose best-valid params become the disk checkpoint)
+        # keeps them.
         kwargs = {**cfg.__dict__, "optimizer_args": opt_args,
-                  "criterion_args": crit_args}
+                  "criterion_args": crit_args,
+                  "keep_best_params": keep_best}
         # Grid overrides like callbacks__early_stopping__patience:
         kwargs = apply_callback_overrides(
             kwargs, nested_first.get("callbacks_args"))
@@ -257,10 +270,16 @@ class GridSearchDriver:
                                     manifest, cell_key)
                 except Exception as e:  # noqa: BLE001 — OOM backoff
                     msg = str(e)
+                    # Match explicit OOM signals only; anything else
+                    # (e.g. bare INTERNAL compiler errors) must surface,
+                    # not silently degrade throughput via retries.
                     oomish = ("RESOURCE_EXHAUSTED" in msg
-                              or "memory" in msg.lower()
-                              or "INTERNAL" in msg)
+                              or "out of memory" in msg.lower()
+                              or "allocat" in msg.lower())
                     if pop > 1 and oomish:
+                        import traceback
+
+                        log(traceback.format_exc())
                         pop = max(1, pop // 2)
                         log(f"  chunk failed ({msg[:80]}...); retrying "
                             f"with population {pop}")
@@ -336,7 +355,6 @@ class GridSearchDriver:
         mean = scores.mean(axis=1)
         std = scores.std(axis=1)
         order = np.argsort(-sign * mean, kind="stable")
-        rank = np.empty(n_cand, dtype=np.int32)
         # sklearn rank_test_score: rankdata(-mean, method='min')
         sorted_means = -sign * mean
         rank = np.array(
@@ -367,7 +385,8 @@ class GridSearchDriver:
         # ---- refit on the full training split (GridSearchCV refit=True) --
         # A single-cell population needs no mesh sharding.
         model, lr, dropout, nested = self._model_for(candidates[best_index])
-        trainer = self._trainer_for(model, nested, mesh=None)
+        trainer = self._trainer_for(model, nested, mesh=None,
+                                    keep_best=True)
         inner_tr, inner_va = train_valid_split(np.asarray(y), n_splits=5)
         task = TrainTask(train_rows=[inner_tr], valid_rows=[inner_va],
                          lr=np.asarray([lr], np.float32),
@@ -380,4 +399,5 @@ class GridSearchDriver:
                             best_params=best_params, scoring=scoring.score,
                             best_model=model,
                             best_model_params=out["params"],
+                            best_model_ckpt_params=out["best_params"],
                             n_candidates=n_cand, n_folds=n_folds)

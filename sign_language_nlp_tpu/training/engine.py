@@ -411,16 +411,22 @@ class PopulationTrainer:
             if cfg.shuffle:
                 # Per-epoch, per-cell permutation of the valid row prefix
                 # (padding rows stay in place so batch weights hold).
-                rng_np = np.random.default_rng(
-                    (cfg.seed + 1) * 100003 + epoch)
+                # Streams key on the ORIGINAL cell id so a cell's batch
+                # order is invariant to population compaction.
                 idx_host = np.zeros((P, n_pad), np.int32)
                 for i, r in enumerate(cur_train_rows):
                     r = np.asarray(r, np.int32)
-                    idx_host[i, :len(r)] = r[rng_np.permutation(len(r))]
+                    cell_rng = np.random.default_rng(
+                        ((cfg.seed + 1) * 100003 + epoch) * 1009
+                        + int(max(orig_of[i], 0)))
+                    idx_host[i, :len(r)] = r[cell_rng.permutation(len(r))]
                 train_idx = self._shard_population(jnp.asarray(idx_host))
+            # Dropout streams also key on the original cell id (padding
+            # slots reuse id 0; their updates are masked anyway).
+            cell_ids = jnp.asarray(np.maximum(orig_of, 0), jnp.int32)
             rngs = jax.vmap(
                 lambda i: jax.random.fold_in(
-                    jax.random.fold_in(base_key, epoch), i))(jnp.arange(P))
+                    jax.random.fold_in(base_key, epoch), i))(cell_ids)
             params, opt_state, monitor, best_params, record = epoch_fn(
                 params, opt_state, monitor, best_params, data_dev,
                 train_idx, train_w, valid_idx, valid_w, rate, rngs)

@@ -32,6 +32,9 @@ class AdamConfig(NamedTuple):
     b2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
+    # torch.optim.AdamW semantics: decay applied to params directly
+    # (p *= 1 - lr*wd), NOT folded into the gradient/moments.
+    decoupled: bool = False
 
 
 def _bcast(lr, leaf):
@@ -73,12 +76,15 @@ def adam_update(params, grads, state, lr, cfg: AdamConfig):
     bc2 = 1.0 - b2 ** count.astype(jnp.float32)
 
     def upd(p, g, m, v):
-        if cfg.weight_decay:
+        if cfg.weight_decay and not cfg.decoupled:
             g = g + cfg.weight_decay * p
         m_new = b1 * m + (1 - b1) * g
         v_new = b2 * v + (1 - b2) * (g * g)
         step = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + cfg.eps)
-        return p - _bcast(lr, p) * step, m_new, v_new
+        lr_p = _bcast(lr, p)
+        if cfg.weight_decay and cfg.decoupled:
+            p = p * (1.0 - lr_p * cfg.weight_decay)
+        return p - lr_p * step, m_new, v_new
 
     flat = jax.tree.map(upd, params, grads, state["m"], state["v"])
     pick = lambda i: jax.tree.map(  # noqa: E731
@@ -90,8 +96,10 @@ def _canon(name: str) -> str:
     short = name.rsplit(".", 1)[-1].lower()
     if short in ("sgd",):
         return "sgd"
-    if short in ("adam", "adamw"):
+    if short == "adam":
         return "adam"
+    if short == "adamw":
+        return "adamw"
     raise ValueError(f"Unknown optimizer: '{name}'")
 
 
@@ -111,7 +119,9 @@ def resolve_optimizer(name: str, optimizer_args: dict | None = None):
         b1=float(optimizer_args.get("betas", (0.9, 0.999))[0]),
         b2=float(optimizer_args.get("betas", (0.9, 0.999))[1]),
         eps=float(optimizer_args.get("eps", 1e-8)),
-        weight_decay=float(optimizer_args.get("weight_decay", 0.0)))
+        weight_decay=float(optimizer_args.get(
+            "weight_decay", 0.01 if kind == "adamw" else 0.0)),
+        decoupled=(kind == "adamw"))
     return (lambda p, g, s, lr: adam_update(p, g, s, lr, cfg),
             lambda p: init_opt_state("adam", p))
 

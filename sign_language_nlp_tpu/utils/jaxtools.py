@@ -29,7 +29,12 @@ def setup_compilation_cache(cache_dir: str | None = None) -> None:
 
 
 def force_cpu() -> None:
-    """Force the CPU platform. Must run before jax is imported; the
-    environment pre-sets JAX_PLATFORMS=axon (TPU tunnel), so this is an
-    overwrite."""
+    """Force the CPU platform. The env var alone is NOT enough here:
+    the host's sitecustomize registers the axon TPU plugin and calls
+    `jax.config.update("jax_platforms", "axon,cpu")` at interpreter
+    start, overriding JAX_PLATFORMS — so this must config-update too
+    (possible any time before first backend init)."""
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -213,3 +213,43 @@ def test_grad_clip_matches_torch():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ours["b"]), p2.grad.numpy(),
                                rtol=1e-4)
+
+
+def test_adam_and_adamw_match_torch():
+    """adam = coupled-L2 Adam; adamw = torch.optim.AdamW's DECOUPLED
+    decay (p *= 1 - lr*wd outside the moment update) — a config asking
+    for AdamW must get AdamW dynamics (advisor finding r1)."""
+    import torch
+
+    from sign_language_nlp_tpu.training.optimizers import resolve_optimizer
+
+    rng = np.random.default_rng(3)
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(6)]
+
+    for name, t_cls in (("torch.optim.Adam", torch.optim.Adam),
+                        ("torch.optim.AdamW", torch.optim.AdamW)):
+        t_w = torch.nn.Parameter(torch.tensor(w0.copy()))
+        t_opt = t_cls([t_w], lr=0.05, weight_decay=0.1)
+        update, init = resolve_optimizer(name, {"weight_decay": 0.1})
+        params = {"w": jnp.asarray(w0)}
+        state = init(params)
+        for g in grads:
+            t_opt.zero_grad()
+            t_w.grad = torch.tensor(g)
+            t_opt.step()
+            params, state = update(params, {"w": jnp.asarray(g)}, state,
+                                   jnp.float32(0.05))
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   t_w.detach().numpy(), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
+    # The two must actually differ (decoupled vs coupled):
+    upd_a, init_a = resolve_optimizer("torch.optim.Adam",
+                                      {"weight_decay": 0.1})
+    upd_w, _ = resolve_optimizer("torch.optim.AdamW", {"weight_decay": 0.1})
+    p = {"w": jnp.asarray(w0)}
+    pa, _ = upd_a(p, {"w": jnp.asarray(grads[0])}, init_a(p),
+                  jnp.float32(0.05))
+    pw, _ = upd_w(p, {"w": jnp.asarray(grads[0])}, init_a(p),
+                  jnp.float32(0.05))
+    assert not np.allclose(np.asarray(pa["w"]), np.asarray(pw["w"]))
