@@ -6,6 +6,10 @@
 # dance (az-start-scheduler.sh / az-start-workers.sh /
 # az-run-task-dist.sh).
 #
+# The workdir MUST resolve to shared storage (NFS / gcsfuse mount)
+# visible to every worker: manifest shards and the final artifacts merge
+# through it. Override with `--workdir <shared-path>` in extra flags.
+#
 # Usage: launch-pod.sh <tpu-name> <zone> <config-name> [extra flags...]
 set -euo pipefail
 
@@ -26,6 +30,7 @@ echo "Launching '$CONFIG' on $TPU_NAME ($NUM_WORKERS workers), " \
 gcloud compute tpus tpu-vm ssh "$TPU_NAME" --zone "$ZONE" --worker=all \
   --command "cd ~/sign_language_nlp_tpu && nohup python -m \
 sign_language_nlp_tpu.main --config configs/${CONFIG}.yaml \
+--workdir ./work/${CONFIG}-pod \
 --dask_args \"{'coordinator': '${COORD_HOST}', \
 'num_processes': ${NUM_WORKERS}, \
 'process_id': \$(hostname | grep -o '[0-9]*\$')}\" $* \

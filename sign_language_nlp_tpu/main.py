@@ -31,13 +31,25 @@ def main(argv=None) -> dict:
 
     args = load_args("SL Transformer (TPU)", ARGUMENTS, argv=argv)
     set_verbosity(int(args.get("verbose") or 1))
+
+    # Multi-host init first (no-op unless a coordinator is configured):
+    # the workdir must resolve identically on every process (manifest
+    # shards merge through it) and only process 0 writes config.yaml.
+    initialize_distributed(args.get("dask_args"))
+
+    from .parallel import is_coordinator, process_info
+
+    _, nproc = process_info()
+    if nproc > 1 and "{datetime" in str(args.get("workdir") or ""):
+        raise ValueError(
+            "multi-host runs need a deterministic shared workdir: drop "
+            "{datetime:...} from the workdir template (each process "
+            "would expand it differently) and pass an explicit path")
     args["workdir"] = format_dir(args.get("workdir"), **args)
 
-    dump_args(args)
+    if is_coordinator():
+        dump_args(args)
     setup_compilation_cache()
-
-    # Multi-host init (no-op unless a coordinator is configured):
-    initialize_distributed(args.get("dask_args"))
 
     from .pipeline import run
 

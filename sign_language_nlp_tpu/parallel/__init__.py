@@ -13,14 +13,15 @@ there is pure scatter-gather of independent fits, which maps here to:
     (SURVEY.md §5 'Distributed communication backend').
 """
 from .mesh import build_mesh, population_sharding, replicated_sharding
-from .distributed import (initialize_distributed, partition_cells,
-                          process_info)
+from .distributed import (initialize_distributed, is_coordinator,
+                          partition_cells, process_info)
 
 __all__ = [
     "build_mesh",
     "population_sharding",
     "replicated_sharding",
     "initialize_distributed",
+    "is_coordinator",
     "partition_cells",
     "process_info",
 ]

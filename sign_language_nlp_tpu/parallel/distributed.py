@@ -44,6 +44,15 @@ def process_info() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
+def is_coordinator() -> bool:
+    """True on the process that owns artifact writes (process 0; always
+    True single-process). Used to keep multi-host runs from racing on
+    the shared workdir's CSV/JSON/checkpoint files."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def partition_cells(cells: Sequence, process_id: int | None = None,
                     num_processes: int | None = None) -> list:
     """Deterministic strided partition of the cell list across hosts:

@@ -27,7 +27,10 @@ def build_mesh(mesh_args: dict | None = None,
     """
     mesh_args = dict(mesh_args or {})
     axis = mesh_args.get("axis", POPULATION_AXIS)
-    devs = list(devices if devices is not None else jax.devices())
+    # LOCAL devices: in multi-host runs each process trains its strided
+    # share of the grid on its own chips (fits never communicate), so
+    # the population mesh must not span hosts.
+    devs = list(devices if devices is not None else jax.local_devices())
     n = int(mesh_args.get("devices", len(devs)))
     devs = devs[:n]
     if len(devs) <= 1:

@@ -16,7 +16,7 @@ import random
 import numpy as np
 
 from .data import AslDataset, balance_dataset
-from .parallel import build_mesh
+from .parallel import build_mesh, is_coordinator
 from .profiling import create_profiler, save_profile
 from .profiling.profiler import cost_analysis_of
 from .search import (GridSearchDriver, ScoringWrapper, build_param_grid,
@@ -176,10 +176,11 @@ def train_single(driver: GridSearchDriver, train_data: AslDataset,
     data = (train_data.tokens, train_data.lengths, train_data.labels_idx)
     result = driver.search(data, train_data.labels_idx, grid, scorer,
                            phase="train")
-    save_output({"best_score": float(result.best_score),
-                 "best_params": result.best_params,
-                 "scoring": repr(scorer)},
-                phase="train", workdir=args.get("workdir") or ".")
+    if is_coordinator():
+        save_output({"best_score": float(result.best_score),
+                     "best_params": result.best_params,
+                     "scoring": repr(scorer)},
+                    phase="train", workdir=args.get("workdir") or ".")
     return result
 
 
@@ -199,7 +200,8 @@ def tune_hyperparams(driver: GridSearchDriver, train_data: AslDataset,
                  "gradient_clipping", "lr_scheduler")})
     grid = build_param_grid(args.get("grid_args") or {},
                             callbacks_names=callbacks_names)
-    save_param_grid(grid, phase=phase, workdir=workdir)
+    if is_coordinator():
+        save_param_grid(grid, phase=phase, workdir=workdir)
 
     scoring_names = args.get("scoring") or ["accuracy"]
     if not isinstance(scoring_names, list):
@@ -218,8 +220,9 @@ def tune_hyperparams(driver: GridSearchDriver, train_data: AslDataset,
         "best_index": int(result.best_index),
         "scoring": repr(scorer),
     }
-    save_output(gs_output, phase=phase, workdir=workdir)
-    save_cv_results(result.cv_results, phase=phase, workdir=workdir)
+    if is_coordinator():
+        save_output(gs_output, phase=phase, workdir=workdir)
+        save_cv_results(result.cv_results, phase=phase, workdir=workdir)
 
     # Persist the refit best model (skorch Checkpoint analogue,
     # reference helper.py:211-212). Vocabularies ride along so a later
@@ -234,6 +237,8 @@ def tune_hyperparams(driver: GridSearchDriver, train_data: AslDataset,
     ckpt_params = (result.best_model_ckpt_params
                    if result.best_model_ckpt_params is not None
                    else result.best_model_params)
+    if not is_coordinator():
+        return result
     save_checkpoint(workdir, ckpt_params, {
         "model": args["model"],
         "best_params": result.best_params,
@@ -290,8 +295,9 @@ def test_model(driver: GridSearchDriver, result, test_data: AslDataset,
     with create_profiler(workdir=workdir) as record:
         trainer.predict_log_probs(params, data, rows)
     record.add_cost(_predict_cost(model, params, test_data))
-    save_output(test_output, phase=phase, workdir=workdir)
-    save_profile(record, phase=phase, workdir=workdir)
+    if is_coordinator():
+        save_output(test_output, phase=phase, workdir=workdir)
+        save_profile(record, phase=phase, workdir=workdir)
     return test_output
 
 

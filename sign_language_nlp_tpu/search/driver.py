@@ -168,20 +168,36 @@ class GridSearchDriver:
                                  else mesh)
 
     # ------------------------------------------------------------------
-    def _manifest_path(self, phase: str) -> Optional[str]:
+    def _manifest_path(self, phase: str,
+                       pid: Optional[int] = None) -> Optional[str]:
         if not self.workdir:
             return None
-        return f"{self.workdir}/{phase}_manifest.json"
+        if pid is None:
+            return f"{self.workdir}/{phase}_manifest.json"
+        return f"{self.workdir}/{phase}_manifest.{pid}.json"
 
     def _load_manifest(self, phase: str) -> dict:
+        """Merged view: the base manifest plus every per-process shard
+        (multi-host runs write `<phase>_manifest.<pid>.json` into the
+        shared workdir; merging is idempotent — cells are
+        content-addressed)."""
+        import glob
+
+        merged: dict = {}
         path = self._manifest_path(phase)
         if path and exists(path):
-            log(f"Resuming from manifest '{path}'...")
-            return read_json(path)
-        return {}
+            merged.update(read_json(path))
+        if self.workdir:
+            for shard in sorted(glob.glob(
+                    f"{self.workdir}/{phase}_manifest.*.json")):
+                merged.update(read_json(shard))
+        if merged:
+            log(f"Resuming from manifest ({len(merged)} finished cells)...")
+        return merged
 
-    def _flush_manifest(self, phase: str, manifest: dict) -> None:
-        path = self._manifest_path(phase)
+    def _flush_manifest(self, phase: str, manifest: dict,
+                        pid: Optional[int] = None) -> None:
+        path = self._manifest_path(phase, pid)
         if path:
             save_json(manifest, path)
 
@@ -197,7 +213,23 @@ class GridSearchDriver:
         log(f"Grid search: {n_cand} candidates x {n_folds} folds = "
             f"{n_cand * n_folds} fits")
 
+        # Multi-host: each process takes a strided share of every shape
+        # group's pending cells and writes its own manifest shard — the
+        # TPU-pod replacement for the reference's Dask-farmed fits
+        # (reference main.py:77-78, helper.py:504).
+        from ..parallel.distributed import process_info
+
+        pid, nproc = process_info()
+        if nproc > 1 and not self.workdir:
+            raise ValueError("multi-process grid search requires a shared "
+                             "workdir (manifest shards merge through it)")
+        shard_pid = pid if nproc > 1 else None
+
         manifest = self._load_manifest(phase)
+        # Keys completed by THIS process in THIS run — a process's shard
+        # holds only its own work (shards stay disjoint; merging is the
+        # union).
+        own_keys: set = set()
 
         def cell_key(ci: int, fi: int) -> str:
             # Content-addressed: resuming with a DIFFERENT grid in the
@@ -217,8 +249,6 @@ class GridSearchDriver:
 
         for key, cand_ids in groups.items():
             cells = [(ci, fi) for ci in cand_ids for fi in range(n_folds)]
-            pending = [c for c in cells
-                       if cell_key(*c) not in manifest]
             for c in cells:
                 mkey = cell_key(*c)
                 if mkey in manifest:
@@ -226,6 +256,17 @@ class GridSearchDriver:
                     scores[c[0], c[1]] = rec["score"]
                     fit_times[c[0], c[1]] = rec.get("fit_time", 0.0)
                     score_times[c[0], c[1]] = rec.get("score_time", 0.0)
+            mine = cells
+            if nproc > 1:
+                # Partition the FULL deterministic cell list (not the
+                # pending subset): assignment must be identical no matter
+                # when a process starts or what the manifest already
+                # holds, or a resumed run could leave cells owned by
+                # nobody.
+                from ..parallel.distributed import partition_cells
+
+                mine = partition_cells(cells, pid, nproc)
+            pending = [c for c in mine if cell_key(*c) not in manifest]
             if not pending:
                 continue
 
@@ -267,7 +308,7 @@ class GridSearchDriver:
                 try:
                     self._run_chunk(chunk, candidates, folds, data, trainer,
                                     scoring, scores, fit_times, score_times,
-                                    manifest, cell_key)
+                                    manifest, cell_key, own_keys)
                 except Exception as e:  # noqa: BLE001 — OOM backoff
                     msg = str(e)
                     # Match explicit OOM signals only; anything else
@@ -286,7 +327,38 @@ class GridSearchDriver:
                         continue
                     raise
                 start += len(chunk)
-                self._flush_manifest(phase, manifest)
+                if shard_pid is None:
+                    self._flush_manifest(phase, manifest)
+                else:
+                    self._flush_manifest(
+                        phase, {k: manifest[k] for k in own_keys},
+                        pid=shard_pid)
+
+        if nproc > 1:
+            # Barrier: every process must have flushed its shard before
+            # anyone assembles the global result. All processes then read
+            # the merged manifest and compute identical cv_results (and
+            # an identical refit) — SPMD-consistent, no coordinator.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"{phase}_grid_done")
+            merged = self._load_manifest(phase)
+            missing = []
+            for ci in range(n_cand):
+                for fi in range(n_folds):
+                    mkey = cell_key(ci, fi)
+                    rec = merged.get(mkey)
+                    if rec is None:
+                        missing.append((ci, fi))
+                        continue
+                    scores[ci, fi] = rec["score"]
+                    fit_times[ci, fi] = rec.get("fit_time", 0.0)
+                    score_times[ci, fi] = rec.get("score_time", 0.0)
+            if missing:
+                raise RuntimeError(
+                    f"{len(missing)} grid cells missing after multi-host "
+                    f"merge (is the workdir shared across hosts?): "
+                    f"{missing[:5]}...")
 
         return self._assemble_result(candidates, grid, scores, fit_times,
                                      score_times, scoring, data, y)
@@ -294,7 +366,7 @@ class GridSearchDriver:
     # ------------------------------------------------------------------
     def _run_chunk(self, chunk, candidates, folds, data, trainer, scoring,
                    scores, fit_times, score_times, manifest,
-                   cell_key) -> None:
+                   cell_key, own_keys=None) -> None:
         y_all = np.asarray(data[2])
         # Pad the population to a multiple of the mesh size (padded cells
         # duplicate the last cell and are ignored when recording).
@@ -315,10 +387,16 @@ class GridSearchDriver:
             lrs.append(lr)
             drops.append(dropout)
 
+        n_folds = len(folds)
         task = TrainTask(train_rows=train_rows, valid_rows=valid_rows,
                          lr=np.asarray(lrs, np.float32),
                          dropout=np.asarray(drops, np.float32),
-                         cell_ids=[f"{ci}:{fi}" for ci, fi in chunk])
+                         cell_ids=[f"{ci}:{fi}" for ci, fi in chunk],
+                         # Stable identity: a cell's RNG streams must not
+                         # depend on chunking / multi-host partitioning /
+                         # resume re-slotting.
+                         seed_ids=np.asarray(
+                             [ci * n_folds + fi for ci, fi in chunk]))
         t0 = time.time()
         out = trainer.fit(data, task)
         fit_wall = time.time() - t0
@@ -338,11 +416,14 @@ class GridSearchDriver:
             scores[ci, fi] = s
             fit_times[ci, fi] = fit_share[k]
             score_times[ci, fi] = score_wall / len(chunk)
-            manifest[cell_key(ci, fi)] = {
+            mkey = cell_key(ci, fi)
+            manifest[mkey] = {
                 "score": float(s), "fit_time": float(fit_share[k]),
                 "score_time": float(score_wall / len(chunk)),
                 "epochs": int(epochs[k]),
             }
+            if own_keys is not None:
+                own_keys.add(mkey)
         if self.verbose:
             log(f"  population of {len(chunk)} cells: fit {fit_wall:.1f}s, "
                 f"scores [{np.nanmin(scores):.4f}, {np.nanmax(scores):.4f}]")

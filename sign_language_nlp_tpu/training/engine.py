@@ -79,6 +79,12 @@ class TrainTask:
     lr: np.ndarray                  # [P]
     dropout: np.ndarray             # [P]
     cell_ids: list = field(default_factory=list)  # opaque labels
+    # Stable per-cell RNG identity: init/dropout/shuffle streams fold on
+    # these (default arange(P)). Callers that pack the same logical cell
+    # into different populations (chunking, multi-host partitioning,
+    # resume) pass globally stable ids so a cell's fit is invariant to
+    # how the population was packed.
+    seed_ids: Optional[np.ndarray] = None
 
     @property
     def population(self) -> int:
@@ -195,25 +201,29 @@ class PopulationTrainer:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
     # ------------------------------------------------------------ init
-    def init_population(self, sample_batch, population: int, seed: int):
+    def init_population(self, sample_batch, population: int, seed: int,
+                        seed_ids=None):
         tokens, lengths, y = sample_batch
+        if seed_ids is None:
+            seed_ids = np.arange(population)
         cache_key = (population, tokens.shape)
         if cache_key not in self._init_fn_cache:
-            def init_all(tokens, lengths, y, seed_arr):
+            def init_all(tokens, lengths, y, seed_arr, sids):
                 def init_one(key):
                     return self.model.init({"params": key}, tokens,
                                            lengths, y)
 
                 keys = jax.vmap(
                     lambda i: jax.random.fold_in(jax.random.key(seed_arr),
-                                                 i))(jnp.arange(population))
+                                                 i))(sids)
                 params = jax.vmap(init_one)(keys)
                 opt_state = jax.vmap(self.opt_init)(params)
                 return params, opt_state
 
             self._init_fn_cache[cache_key] = jax.jit(init_all)
-        return self._init_fn_cache[cache_key](tokens, lengths, y,
-                                              jnp.int32(seed))
+        return self._init_fn_cache[cache_key](
+            tokens, lengths, y, jnp.int32(seed),
+            jnp.asarray(seed_ids, jnp.int32))
 
     # ------------------------------------------------------------ core step
     def _cell_loss(self, params, tokens, lengths, y, w, rate, rng):
@@ -356,9 +366,12 @@ class PopulationTrainer:
         valid_idx, valid_w = _pad_idx_matrix(task.valid_rows,
                                              n_valid_batches * eval_batch)
 
+        seed_ids = np.asarray(task.seed_ids if task.seed_ids is not None
+                              else np.arange(P), np.int64)
         sample = (jnp.asarray(tokens[:batch]), jnp.asarray(lengths[:batch]),
                   jnp.asarray(labels[:batch].astype(np.int32)))
-        params, opt_state = self.init_population(sample, P, cfg.seed)
+        params, opt_state = self.init_population(sample, P, cfg.seed,
+                                                 seed_ids=seed_ids)
         monitor = init_monitor_state(jnp.asarray(task.lr, jnp.float32))
         # best_params must not alias params: both are donated to the
         # epoch program. Without checkpointing, a tiny placeholder tree
@@ -408,25 +421,25 @@ class PopulationTrainer:
         base_key = jax.random.key(cfg.seed + 1)
         n_pad = n_train_batches * batch
         for epoch in range(cfg.max_epochs):
+            # Per-slot stable RNG identity (invariant to compaction and
+            # population packing): the seed_id of the slot's original
+            # cell. Padding slots reuse id 0 — their updates are masked.
+            slot_sids = seed_ids[np.maximum(orig_of, 0)]
             if cfg.shuffle:
                 # Per-epoch, per-cell permutation of the valid row prefix
                 # (padding rows stay in place so batch weights hold).
-                # Streams key on the ORIGINAL cell id so a cell's batch
-                # order is invariant to population compaction.
                 idx_host = np.zeros((P, n_pad), np.int32)
                 for i, r in enumerate(cur_train_rows):
                     r = np.asarray(r, np.int32)
                     cell_rng = np.random.default_rng(
                         ((cfg.seed + 1) * 100003 + epoch) * 1009
-                        + int(max(orig_of[i], 0)))
+                        + int(slot_sids[i]))
                     idx_host[i, :len(r)] = r[cell_rng.permutation(len(r))]
                 train_idx = self._shard_population(jnp.asarray(idx_host))
-            # Dropout streams also key on the original cell id (padding
-            # slots reuse id 0; their updates are masked anyway).
-            cell_ids = jnp.asarray(np.maximum(orig_of, 0), jnp.int32)
             rngs = jax.vmap(
                 lambda i: jax.random.fold_in(
-                    jax.random.fold_in(base_key, epoch), i))(cell_ids)
+                    jax.random.fold_in(base_key, epoch), i))(
+                jnp.asarray(slot_sids, jnp.int32))
             params, opt_state, monitor, best_params, record = epoch_fn(
                 params, opt_state, monitor, best_params, data_dev,
                 train_idx, train_w, valid_idx, valid_w, rate, rngs)

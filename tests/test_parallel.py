@@ -95,3 +95,66 @@ def test_driver_search_over_mesh(built_dataset):
                              result.cv_results["split1_test_score"]])
     assert np.isfinite(scores).all()
     assert result.best_params["lr"] in (0.3, 0.01)
+
+
+def _mini_driver(workdir=None, mesh=None):
+    from sign_language_nlp_tpu.search import GridSearchDriver
+    from sign_language_nlp_tpu.training.engine import TrainConfig
+
+    return GridSearchDriver(
+        model_name="model.EncoderDecoderGRUAttn",
+        src_vocab_size=12, tgt_vocab_size=8, src_pad_idx=1, tgt_pad_idx=1,
+        base_model_args={"embedding_size": 8, "hidden_size": 8,
+                         "num_layers": 1, "dropout": 0.0},
+        train_config=TrainConfig(batch_size=16, max_epochs=2, seed=0,
+                                 verbose=0, scoring=("accuracy",)),
+        cv=2, mesh=mesh, workdir=workdir, verbose=0)
+
+
+def test_driver_partitions_cells_across_processes(tmp_path, monkeypatch):
+    """Simulated 2-process search: each process fits only its strided
+    share into its own manifest shard; the post-barrier merge assembles
+    the full result, identical to a single-process run. (The real
+    jax.distributed path is covered by scripts/validate_multihost.py.)"""
+    from sign_language_nlp_tpu.parallel import distributed
+    from sign_language_nlp_tpu.search import ParamGrid, ScoringWrapper
+
+    data, labels = _toy_data(n=48)
+    y = np.asarray(labels)
+    grid_args = {"lr": [0.3, 0.1, 0.03]}
+    scorer = ScoringWrapper("accuracy", labels=list(range(8)))
+
+    # Reference: single process.
+    ref = _mini_driver(str(tmp_path / "single")).search(
+        data, y, ParamGrid(grid_args), scorer)
+
+    # Simulate process 1 then process 0 sequentially (shared workdir).
+    shared = str(tmp_path / "shared")
+    monkeypatch.setattr(
+        "jax.experimental.multihost_utils.sync_global_devices",
+        lambda name: None)
+    results = {}
+    for pid in (1, 0):
+        monkeypatch.setattr(distributed, "process_info", lambda p=pid: (p, 2))
+        drv = _mini_driver(shared)
+        if pid == 1:
+            # Process 1 finishes its share; process 0's cells are still
+            # missing at merge time (no real barrier here), so the
+            # driver must refuse to assemble a partial result.
+            with pytest.raises(RuntimeError, match="missing"):
+                drv.search(data, y, ParamGrid(grid_args), scorer)
+        else:
+            results[pid] = drv.search(data, y, ParamGrid(grid_args), scorer)
+
+    import json
+    from pathlib import Path
+
+    shards = [json.loads(Path(shared, f"grid_search_manifest.{i}.json")
+                         .read_text()) for i in (0, 1)]
+    assert len(shards[0]) + len(shards[1]) == 6
+    assert abs(len(shards[0]) - len(shards[1])) <= 1
+    assert not set(shards[0]) & set(shards[1])
+
+    np.testing.assert_allclose(
+        results[0].cv_results["mean_test_score"],
+        ref.cv_results["mean_test_score"], rtol=0, atol=1e-7)
