@@ -49,17 +49,42 @@ from .scoring import ScoringWrapper
 # Candidate keys that vary *within* a population (traced per-cell):
 _VECTOR_KEYS = ("lr", "module__dropout")
 
-# HBM budget for one population (v5e has 15.75G; leave headroom for
-# XLA temporaries and the corpus arrays):
-_HBM_BUDGET_BYTES = 9e9
+# Fallback HBM budgets when the backend reports no memory stats (the
+# axon v5e tunnel reports none; the chip has 15.75G). The static-model
+# fallback stays conservative; sizing from XLA-measured bytes can trust
+# a tighter margin.
+_HBM_BUDGET_FALLBACK = 9e9
+_HBM_BUDGET_FALLBACK_MEASURED = 13e9
+
+
+def hbm_budget_bytes(measured: bool = False) -> float:
+    """Per-device HBM budget for one population: the device's reported
+    limit with a 12% runtime-overhead margin, or a fallback when the
+    backend doesn't expose memory stats. `measured=True` selects the
+    tighter fallback used when sizing comes from XLA memory_analysis()
+    rather than the static estimate."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return 0.88 * float(limit)
+    except Exception:  # noqa: BLE001 — stats are advisory
+        pass
+    return _HBM_BUDGET_FALLBACK_MEASURED if measured \
+        else _HBM_BUDGET_FALLBACK
 
 
 def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
                         seq_len: int, batch: int, remat: bool) -> float:
-    """Rough f32 HBM bytes one grid cell needs during a train step:
-    4x params (params + momentum + best-checkpoint + grads) plus the
+    """Static f32 HBM accounting for one grid cell's train step: 4x
+    params (params + momentum + best-checkpoint + grads) plus the
     transformer's live activations — dominated by the O(B·H·S²·layers)
-    attention tensors unless remat drops them."""
+    attention tensors unless remat drops them. This is only the FIRST
+    GUESS for the population planner; the authoritative number comes
+    from XLA's memory_analysis() on the compiled epoch program
+    (PopulationTrainer.epoch_memory_bytes)."""
     E = int(model_args.get("embedding_size") or 256)
     F = int(model_args.get("hidden_size") or E)
     L = int(model_args.get("num_layers") or 2)
@@ -70,14 +95,7 @@ def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
         + E * tgt_vocab
     act = batch * seq_len * E * L * (3 if remat else 12)
     scores = batch * H * seq_len * seq_len * L * (1 if remat else 3)
-    # Fudge factors calibrated against an observed OOM (20 cells of a
-    # ~300MB static estimate exhausted a 15.75G chip): XLA temporaries
-    # and layout padding roughly double-to-triple the static accounting.
-    # Rematerialized programs have far smaller live sets, and the driver
-    # retries with a halved population on OOM, so remat estimates can be
-    # tighter.
-    fudge = 1.5 if remat else 2.5
-    return (4.0 * (params * 4) + (act + scores) * 4) * fudge
+    return 4.0 * (params * 4) + (act + scores) * 4
 
 
 @dataclass
@@ -273,34 +291,24 @@ class GridSearchDriver:
             model, _, _, nested_first = self._model_for(
                 candidates[cand_ids[0]])
 
-            # Memory-aware planning for this shape group: cap the
-            # population, and auto-enable remat when even a handful of
-            # cells would crowd the HBM budget.
             margs = dict(self.base_model_args)
             margs.update(candidate_to_nested(
                 candidates[cand_ids[0]])["model_args"])
-            seq_len = int(np.asarray(data[0]).shape[1])
-            per_cell = estimate_cell_bytes(
-                margs, self.src_vocab_size, self.tgt_vocab_size, seq_len,
-                self.train_config.batch_size, self.train_config.remat)
-            use_remat = self.train_config.remat
-            if per_cell * 4 > _HBM_BUDGET_BYTES and not use_remat:
-                use_remat = True
-                per_cell = estimate_cell_bytes(
-                    margs, self.src_vocab_size, self.tgt_vocab_size,
-                    seq_len, self.train_config.batch_size, True)
-                if self.verbose:
-                    log("  remat enabled for this shape group "
-                        f"(~{per_cell / 1e6:.0f} MB/cell after)")
+            n_corpus, seq_len = np.asarray(data[0]).shape
+
+            # Group-wide row-padding floors: every chunk of this group
+            # shares ONE compiled epoch program.
+            y_all = np.asarray(data[2])
+            pad_rows_to = (
+                max(len(train_valid_split(y_all[ft], n_splits=5)[0])
+                    for ft, _ in folds),
+                max(len(train_valid_split(y_all[ft], n_splits=5)[1])
+                    for ft, _ in folds))
+
             trainer = self._trainer_for(model, nested_first)
-            if use_remat and not trainer.config.remat:
-                trainer.config = TrainConfig(**{**trainer.config.__dict__,
-                                                "remat": True})
-            fit_cap = max(1, int(_HBM_BUDGET_BYTES // max(per_cell, 1.0)))
-            pop = max(1, min(self.max_population, fit_cap))
-            if pop < len(pending) and self.verbose:
-                log(f"  population capped at {pop} cells "
-                    f"(~{per_cell / 1e6:.0f} MB/cell)")
+            pop, pad_to = self._plan_population(
+                trainer, margs, int(n_corpus), int(seq_len),
+                len(pending), pad_rows_to)
 
             start = 0
             while start < len(pending):
@@ -308,7 +316,8 @@ class GridSearchDriver:
                 try:
                     self._run_chunk(chunk, candidates, folds, data, trainer,
                                     scoring, scores, fit_times, score_times,
-                                    manifest, cell_key, own_keys)
+                                    manifest, cell_key, own_keys,
+                                    pad_to=pad_to, pad_rows_to=pad_rows_to)
                 except Exception as e:  # noqa: BLE001 — OOM backoff
                     msg = str(e)
                     # Match explicit OOM signals only; anything else
@@ -322,6 +331,9 @@ class GridSearchDriver:
 
                         log(traceback.format_exc())
                         pop = max(1, pop // 2)
+                        d = (self.mesh.devices.size
+                             if self.mesh is not None else 1)
+                        pad_to = -(-pop // d) * d
                         log(f"  chunk failed ({msg[:80]}...); retrying "
                             f"with population {pop}")
                         continue
@@ -364,17 +376,90 @@ class GridSearchDriver:
                                      score_times, scoring, data, y)
 
     # ------------------------------------------------------------------
+    def _plan_population(self, trainer, margs: dict, n_corpus: int,
+                         seq_len: int, n_pending: int,
+                         pad_rows_to: tuple) -> tuple:
+        """Size the population from MEASURED bytes: AOT-compile the epoch
+        program and read XLA's memory_analysis() (the compile is reused
+        by the actual fit via the persistent cache). Returns
+        (pop, pad_to): cells per chunk and the uniform program
+        population every chunk pads to. Falls back to the static
+        estimate (with a 2.5x safety factor) when the backend reports no
+        memory stats; the runtime OOM backoff remains the last net."""
+        budget = hbm_budget_bytes(measured=True)
+        static_budget = hbm_budget_bytes(measured=False)
+        d = self.mesh.devices.size if self.mesh is not None else 1
+        base = float(n_corpus * seq_len + 2 * n_corpus) * 4.0
+
+        def layout(pop):
+            """Even chunks → (pop, program population)."""
+            pop = max(1, min(pop, self.max_population, n_pending))
+            k = -(-n_pending // pop)
+            pop = -(-n_pending // k)
+            return pop, -(-pop // d) * d
+
+        def probe(P):
+            task = TrainTask(
+                train_rows=[np.zeros(1, np.int64)] * P,
+                valid_rows=[np.zeros(1, np.int64)] * P,
+                lr=np.full(P, 0.1, np.float32),
+                dropout=np.zeros(P, np.float32),
+                pad_rows_to=pad_rows_to)
+            m = trainer.epoch_memory_bytes(n_corpus, seq_len, task)
+            # Some backends compile but report zero/garbage stats:
+            return m if (m is not None and m > base) else None
+
+        static_cell = estimate_cell_bytes(
+            margs, self.src_vocab_size, self.tgt_vocab_size, seq_len,
+            trainer.config.batch_size, trainer.config.remat)
+        pop, pad_to = layout(int(static_budget // max(static_cell, 1.0)))
+
+        for attempt in range(3):
+            measured = probe(pad_to)
+            if measured is None:
+                pop, pad_to = layout(
+                    int(static_budget // max(static_cell * 2.5, 1.0)))
+                if self.verbose and pop < n_pending:
+                    log(f"  population capped at {pop} (static estimate; "
+                        f"no memory stats)")
+                return pop, pad_to
+            per_cell = max((measured - base) / pad_to, 1.0)
+            target = int((budget - base) // per_cell)
+            if target < 1:
+                if not trainer.config.remat:
+                    trainer.set_remat(True)
+                    if self.verbose:
+                        log("  remat enabled for this shape group (one "
+                            f"cell measures {per_cell / 1e6:.0f} MB)")
+                    continue
+                # Even one rematerialized cell exceeds the budget —
+                # run it anyway and let the runtime report honestly.
+                return layout(1)
+            new_pop, new_pad = layout(target)
+            if new_pad == pad_to or attempt == 2:
+                if self.verbose:
+                    log(f"  population {new_pop} (program {new_pad} "
+                        f"slots, {per_cell / 1e6:.0f} MB/cell measured, "
+                        f"budget {budget / 1e9:.1f} GB)")
+                return new_pop, new_pad
+            pop, pad_to = new_pop, new_pad
+        return pop, pad_to
+
+    # ------------------------------------------------------------------
     def _run_chunk(self, chunk, candidates, folds, data, trainer, scoring,
                    scores, fit_times, score_times, manifest,
-                   cell_key, own_keys=None) -> None:
+                   cell_key, own_keys=None, pad_to=None,
+                   pad_rows_to=None) -> None:
         y_all = np.asarray(data[2])
-        # Pad the population to a multiple of the mesh size (padded cells
-        # duplicate the last cell and are ignored when recording).
+        # Pad the population to the group's uniform program size (every
+        # chunk shares one compiled program; padded cells duplicate the
+        # last cell and are ignored when recording). Fallback: a
+        # mesh-size multiple.
         n_real = len(chunk)
-        if self.mesh is not None:
-            d = self.mesh.devices.size
+        if pad_to is None:
+            d = self.mesh.devices.size if self.mesh is not None else 1
             pad_to = ((n_real + d - 1) // d) * d
-            chunk = list(chunk) + [chunk[-1]] * (pad_to - n_real)
+        chunk = list(chunk) + [chunk[-1]] * (max(pad_to, n_real) - n_real)
         train_rows, valid_rows, lrs, drops = [], [], [], []
         for ci, fi in chunk:
             fold_train, _ = folds[fi]
@@ -396,7 +481,8 @@ class GridSearchDriver:
                          # depend on chunking / multi-host partitioning /
                          # resume re-slotting.
                          seed_ids=np.asarray(
-                             [ci * n_folds + fi for ci, fi in chunk]))
+                             [ci * n_folds + fi for ci, fi in chunk]),
+                         pad_rows_to=pad_rows_to)
         t0 = time.time()
         out = trainer.fit(data, task)
         fit_wall = time.time() - t0

@@ -85,6 +85,10 @@ class TrainTask:
     # resume) pass globally stable ids so a cell's fit is invariant to
     # how the population was packed.
     seed_ids: Optional[np.ndarray] = None
+    # Floor (n_train_rows, n_valid_rows) for the padded row matrices:
+    # callers that split one grid into many chunks pass the group-wide
+    # maxima so every chunk shares ONE compiled epoch program.
+    pad_rows_to: Optional[tuple] = None
 
     @property
     def population(self) -> int:
@@ -201,12 +205,8 @@ class PopulationTrainer:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
     # ------------------------------------------------------------ init
-    def init_population(self, sample_batch, population: int, seed: int,
-                        seed_ids=None):
-        tokens, lengths, y = sample_batch
-        if seed_ids is None:
-            seed_ids = np.arange(population)
-        cache_key = (population, tokens.shape)
+    def _get_init_fn(self, population: int, token_shape: tuple):
+        cache_key = (population, tuple(token_shape))
         if cache_key not in self._init_fn_cache:
             def init_all(tokens, lengths, y, seed_arr, sids):
                 def init_one(key):
@@ -221,9 +221,123 @@ class PopulationTrainer:
                 return params, opt_state
 
             self._init_fn_cache[cache_key] = jax.jit(init_all)
-        return self._init_fn_cache[cache_key](
-            tokens, lengths, y, jnp.int32(seed),
-            jnp.asarray(seed_ids, jnp.int32))
+        return self._init_fn_cache[cache_key]
+
+    def init_population(self, sample_batch, population: int, seed: int,
+                        seed_ids=None):
+        tokens, lengths, y = sample_batch
+        if seed_ids is None:
+            seed_ids = np.arange(population)
+        init_fn = self._get_init_fn(population, tokens.shape)
+        return init_fn(tokens, lengths, y, jnp.int32(seed),
+                       jnp.asarray(seed_ids, jnp.int32))
+
+    def set_remat(self, remat: bool) -> None:
+        """Toggle rematerialization; drops compiled-program caches whose
+        traces baked in the old setting."""
+        if self.config.remat == bool(remat):
+            return
+        self.config = TrainConfig(**{**self.config.__dict__,
+                                     "remat": bool(remat)})
+        self._epoch_fn_cache.clear()
+
+    # ------------------------------------------------------------ geometry
+    def _geometry(self, task: TrainTask) -> tuple:
+        """(batch, eval_batch, n_train_batches, n_valid_batches) for a
+        task — honoring pad_rows_to so chunked populations share one
+        compiled program."""
+        cfg = self.config
+        n_tr = max(len(r) for r in task.train_rows)
+        n_va = max(max(len(r) for r in task.valid_rows), 1)
+        if task.pad_rows_to is not None:
+            n_tr = max(n_tr, int(task.pad_rows_to[0]))
+            n_va = max(n_va, int(task.pad_rows_to[1]))
+        batch = min(cfg.batch_size, max(n_tr, 1))
+        eval_batch = min(cfg.eval_batch_size, n_va)
+        return (batch, eval_batch, _ceil_div(n_tr, batch),
+                _ceil_div(n_va, eval_batch))
+
+    def _get_epoch_fn(self, n_train_batches, n_valid_batches, batch,
+                      eval_batch):
+        shape_key = (n_train_batches, n_valid_batches, batch, eval_batch)
+        if shape_key not in self._epoch_fn_cache:
+            self._epoch_fn_cache[shape_key] = self._build_epoch_fn(
+                n_train_batches, n_valid_batches, batch, eval_batch)
+        return self._epoch_fn_cache[shape_key]
+
+    # ------------------------------------------------------------ memory
+    def epoch_memory_bytes(self, n_corpus: int, seq_len: int,
+                           task: TrainTask) -> Optional[int]:
+        """Peak per-device HBM bytes of the compiled epoch program for
+        this task's geometry, from XLA's memory_analysis() — no data is
+        moved and nothing executes (AOT lower+compile on abstract
+        shapes; the persistent compile cache makes the later jit call on
+        real arrays a cache hit). Returns None when the backend can't
+        report memory stats."""
+        from ..utils import log as _log
+
+        try:
+            cfg = self.config
+            P = task.population
+            batch, eval_batch, n_tb, n_vb = self._geometry(task)
+            i32, f32 = jnp.int32, jnp.float32
+
+            pop_sharding = None
+            if self.mesh is not None:
+                from jax.sharding import (NamedSharding,
+                                          PartitionSpec as PSpec)
+
+                pop_sharding = NamedSharding(
+                    self.mesh, PSpec(self.population_axis))
+
+            def abs_(shape, dtype, shard=False):
+                if shard and pop_sharding is not None:
+                    return jax.ShapeDtypeStruct(shape, dtype,
+                                                sharding=pop_sharding)
+                return jax.ShapeDtypeStruct(shape, dtype)
+
+            def shard_tree(tree):
+                if pop_sharding is None:
+                    return tree
+                return jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(
+                        a.shape, a.dtype, sharding=pop_sharding)
+                    if getattr(a, "ndim", 0) >= 1 else a, tree)
+
+            tok_b = abs_((batch, seq_len), i32)
+            len_b = abs_((batch,), i32)
+            y_b = abs_((batch,), i32)
+            init_fn = self._get_init_fn(P, (batch, seq_len))
+            params_s, opt_s = jax.eval_shape(
+                init_fn, tok_b, len_b, y_b, abs_((), i32), abs_((P,), i32))
+            params_s, opt_s = shard_tree(params_s), shard_tree(opt_s)
+            monitor_s = shard_tree(jax.eval_shape(
+                init_monitor_state, abs_((P,), f32)))
+            best_s = (params_s if cfg.keep_best_params
+                      else shard_tree({"unused": jax.ShapeDtypeStruct(
+                          (P, 1), f32)}))
+            data_s = (abs_((n_corpus, seq_len), i32),
+                      abs_((n_corpus,), i32), abs_((n_corpus,), i32))
+            ti = abs_((P, n_tb * batch), i32, shard=True)
+            tw = abs_((P, n_tb * batch), f32, shard=True)
+            vi = abs_((P, n_vb * eval_batch), i32, shard=True)
+            vw = abs_((P, n_vb * eval_batch), f32, shard=True)
+            rate_s = abs_((P,), f32, shard=True)
+            rngs_s = jax.eval_shape(
+                lambda ids: jax.vmap(lambda i: jax.random.fold_in(
+                    jax.random.key(0), i))(ids), abs_((P,), i32))
+
+            epoch_fn = self._get_epoch_fn(n_tb, n_vb, batch, eval_batch)
+            compiled = epoch_fn.lower(
+                params_s, opt_s, monitor_s, best_s, data_s,
+                ti, tw, vi, vw, rate_s, rngs_s).compile()
+            ma = compiled.memory_analysis()
+            return int(ma.argument_size_in_bytes + ma.output_size_in_bytes
+                       + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+        except Exception as e:  # noqa: BLE001 — sizing is best-effort
+            _log(f"epoch memory_analysis unavailable ({type(e).__name__}: "
+                 f"{str(e)[:120]}); falling back to the static estimate")
+            return None
 
     # ------------------------------------------------------------ core step
     def _cell_loss(self, params, tokens, lengths, y, w, rate, rng):
@@ -354,12 +468,8 @@ class PopulationTrainer:
         P = task.population
         tokens, lengths, labels = [np.asarray(a) for a in data]
 
-        n_tr = max(len(r) for r in task.train_rows)
-        n_va = max(max(len(r) for r in task.valid_rows), 1)
-        batch = min(cfg.batch_size, max(n_tr, 1))
-        eval_batch = min(cfg.eval_batch_size, n_va)
-        n_train_batches = _ceil_div(n_tr, batch)
-        n_valid_batches = _ceil_div(n_va, eval_batch)
+        batch, eval_batch, n_train_batches, n_valid_batches = \
+            self._geometry(task)
 
         train_idx, train_w = _pad_idx_matrix(task.train_rows,
                                              n_train_batches * batch)
@@ -392,11 +502,8 @@ class PopulationTrainer:
         valid_w = self._shard_population(jnp.asarray(valid_w))
         rate = self._shard_population(jnp.asarray(task.dropout, jnp.float32))
 
-        shape_key = (n_train_batches, n_valid_batches, batch, eval_batch)
-        if shape_key not in self._epoch_fn_cache:
-            self._epoch_fn_cache[shape_key] = self._build_epoch_fn(
-                n_train_batches, n_valid_batches, batch, eval_batch)
-        epoch_fn = self._epoch_fn_cache[shape_key]
+        epoch_fn = self._get_epoch_fn(n_train_batches, n_valid_batches,
+                                      batch, eval_batch)
 
         # --- epoch loop (with optional population compaction) ----------
         # `orig_of[slot]` maps a device slot to its original cell index;
