@@ -82,6 +82,129 @@ def cost_analysis_of(fn, *args) -> dict:
         return {}
 
 
+_HLO_HEAD_RE = None  # compiled lazily
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8e4m3": 1,
+                "f8e5m2": 1, "s64": 8, "s32": 4, "s16": 2, "s8": 1,
+                "u64": 8, "u32": 4, "u16": 2, "u8": 1, "pred": 1,
+                "c64": 8, "c128": 16}
+
+
+def _parse_hlo_head(event_name: str):
+    """Parse '%fusion.1 = s32[9,120]{...} fusion(...)' → (op_name,
+    result_bytes, flops_estimate). Best-effort: tuple-valued or exotic
+    instructions yield (name, None, None)."""
+    import re
+
+    global _HLO_HEAD_RE
+    if _HLO_HEAD_RE is None:
+        _HLO_HEAD_RE = re.compile(
+            r"^%?([\w.\-]+)\s*=\s*([a-z0-9]+)\[([\d,]*)\]")
+    m = _HLO_HEAD_RE.match(event_name)
+    if not m:
+        name = event_name.split(" = ")[0].lstrip("%").strip()
+        return (name or event_name[:40], None, None)
+    name, dtype, dims = m.groups()
+    nbytes = None
+    size = _DTYPE_BYTES.get(dtype)
+    if size is not None:
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        nbytes = n * size
+    flops = None
+    if " dot(" in event_name or name.startswith("dot"):
+        # result [.., M, N] contracting over K from the first operand's
+        # trailing dim: FLOPs = 2 * prod(result) * K.
+        op = re.search(r"dot\(\s*%?[\w.\-]+\s*=?\s*|dot\(", event_name)
+        km = re.search(r"dot\([a-z0-9]+\[([\d,]*)\]", event_name)
+        if km and size is not None:
+            try:
+                lhs = [int(d) for d in km.group(1).split(",") if d]
+                out = [int(d) for d in dims.split(",") if d]
+                if lhs and out:
+                    k = lhs[-1]
+                    n_out = 1
+                    for d in out:
+                        n_out *= d
+                    flops = 2 * n_out * k
+            except ValueError:
+                pass
+        del op
+    return name, nbytes, flops
+
+
+def per_op_table(trace_dir: str) -> list:
+    """Aggregate the captured jax.profiler trace into MEASURED per-op
+    rows: [{name, self_time_ns, calls, out_bytes, flops}] sorted by self
+    time desc (the reference's torch.profiler per-op table sorted by
+    self_cpu_time_total, helper.py:442-487). Works on both TPU planes
+    ('XLA Ops' lines) and CPU planes (events carrying an 'hlo_op'
+    stat)."""
+    import glob
+    import os
+
+    from jax.profiler import ProfileData
+
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"),
+                   key=os.path.getmtime)
+    if not files:
+        return []
+    agg: dict = {}
+    p = ProfileData.from_file(files[-1])
+    for plane in p.planes:
+        for line in plane.lines:
+            if line.name == "Async XLA Ops":
+                continue  # spans duplicate ops already on "XLA Ops"
+            is_xla_ops = line.name == "XLA Ops"
+            for ev in line.events:
+                stats = None
+                if not is_xla_ops:
+                    stats = dict(ev.stats)
+                    if "hlo_op" not in stats:
+                        continue
+                name, nbytes, flops = _parse_hlo_head(ev.name)
+                if not is_xla_ops:
+                    name = stats.get("hlo_op", name)
+                row = agg.setdefault(name, {"name": name,
+                                            "self_time_ns": 0.0,
+                                            "calls": 0,
+                                            "out_bytes": nbytes,
+                                            "flops": flops})
+                row["self_time_ns"] += float(ev.duration_ns or 0.0)
+                row["calls"] += 1
+    rows = sorted(agg.values(), key=lambda r: -r["self_time_ns"])
+    return rows
+
+
+def format_op_table(rows: list, top: int = 30) -> list:
+    """Reference-shaped text table: name, self time, %, avg, calls,
+    output bytes, estimated FLOPs."""
+    total = sum(r["self_time_ns"] for r in rows) or 1.0
+    out = [
+        "",
+        f"{'op':<44}{'self time':>12}{'%':>7}{'avg':>10}{'calls':>8}"
+        f"{'out bytes':>12}{'flops(est)':>12}",
+        "-" * 105,
+    ]
+    for r in rows[:top]:
+        us = r["self_time_ns"] / 1e3
+        avg = us / max(r["calls"], 1)
+        nb = r["out_bytes"]
+        fl = r["flops"]
+        fl = fl * r["calls"] if fl else None
+        out.append(
+            f"{r['name'][:43]:<44}{us:>10.1f}µs"
+            f"{100 * r['self_time_ns'] / total:>6.1f}%"
+            f"{avg:>8.1f}µs{r['calls']:>8}"
+            f"{nb if nb is not None else '-':>12}"
+            f"{f'{fl:.2e}' if fl else '-':>12}")
+    out.append(f"{'TOTAL (measured device self time)':<44}"
+               f"{total / 1e3:>10.1f}µs{100.0:>6.1f}%")
+    return out
+
+
 def save_profile(record: ProfileRecord, phase: str, workdir: str,
                  **kwargs) -> None:
     """Write `<phase>_profile_table.txt` + `<phase>_profile.json`
@@ -109,6 +232,17 @@ def save_profile(record: ProfileRecord, phase: str, workdir: str,
             rows.append(f"{key:<32}{val:>20.3e}")
     if record.trace_dir:
         rows.append(f"{'trace dir':<32}{record.trace_dir:>20}")
+
+    # Measured per-op breakdown from the captured trace (reference
+    # helper.py:442-487: per-op table sorted by self time).
+    op_rows: list = []
+    if record.trace_dir:
+        try:
+            op_rows = per_op_table(record.trace_dir)
+        except Exception as e:  # noqa: BLE001 — table is best-effort
+            log(f"per-op table unavailable: {e}")
+    if op_rows:
+        rows.extend(format_op_table(op_rows))
     save_items(rows, f"{workdir}/{phase}_profile_table.txt")
 
     details = {
@@ -126,5 +260,7 @@ def save_profile(record: ProfileRecord, phase: str, workdir: str,
                           if isinstance(v, (int, float))},
         "trace_dir": record.trace_dir,
         "count": record.count,
+        # Measured per-op breakdown (top 50), same data as the table:
+        "per_op": [{k: v for k, v in r.items()} for r in op_rows[:50]],
     }
     save_json(details, f"{workdir}/{phase}_profile.json")

@@ -133,3 +133,39 @@ def test_predict_corpus_from_checkpoint(pipeline_result, asl_corpus_dir):
     vocab = set(tgt_vocab.itos)
     assert all(v in vocab for v in preds.values())
     assert all(k.endswith(".json") for k in preds)
+
+
+def test_per_op_profile_table(tmp_path):
+    """The profile artifacts carry a MEASURED per-op breakdown (top ops
+    by self time) parsed from the captured jax trace — the reference's
+    torch.profiler table analogue (helper.py:442-487)."""
+    import jax
+    import numpy as np
+
+    from sign_language_nlp_tpu.profiling import create_profiler, save_profile
+    from sign_language_nlp_tpu.profiling.profiler import (format_op_table,
+                                                          per_op_table)
+
+    @jax.jit
+    def f(a, b):
+        return jax.nn.softmax(a @ b, axis=-1)
+
+    a = np.random.default_rng(0).normal(size=(64, 64)).astype(np.float32)
+    with create_profiler(workdir=str(tmp_path)) as record:
+        jax.block_until_ready(f(a, a))
+
+    rows = per_op_table(record.trace_dir)
+    assert len(rows) >= 1
+    assert all(r["self_time_ns"] >= 0 and r["calls"] >= 1 for r in rows)
+    # Sorted by self time desc:
+    times = [r["self_time_ns"] for r in rows]
+    assert times == sorted(times, reverse=True)
+
+    save_profile(record, phase="test", workdir=str(tmp_path))
+    table = (tmp_path / "test_profile_table.txt").read_text()
+    assert "self time" in table and "calls" in table
+    import json
+
+    details = json.loads((tmp_path / "test_profile.json").read_text())
+    assert details["per_op"] and "self_time_ns" in details["per_op"][0]
+    assert format_op_table(rows)  # renders without error
