@@ -118,30 +118,45 @@ def main() -> None:
     fit(range(P), 1)
     fit(range(1), 1)
 
-    # --- measured: one population fit ---
-    t0 = time.time()
-    fit(range(P), epochs)
-    t_pop = time.time() - t0
-    log(f"population fit ({P} cells x {epochs} epochs): {t_pop:.2f}s")
+    # --- measured: median-of-3 population fits ---
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    t_pops = []
+    for r in range(reps):
+        t0 = time.time()
+        fit(range(P), epochs)
+        t_pops.append(time.time() - t0)
+        log(f"population fit ({P} cells x {epochs} epochs) "
+            f"rep {r + 1}/{reps}: {t_pops[-1]:.2f}s")
+    t_pop = float(np.median(t_pops))
+    spread = (max(t_pops) - min(t_pops)) / t_pop
 
     # --- baseline: sequential single fits (reference execution model) ---
-    n_seq = min(P, 4)  # measure a few, extrapolate linearly
-    t0 = time.time()
+    n_seq = min(P, int(os.environ.get("BENCH_NSEQ", 8)))
+    t_cells = []
     for k in range(n_seq):
+        t0 = time.time()
         fit(range(k, k + 1), epochs)
-    t_seq_each = (time.time() - t0) / n_seq
+        t_cells.append(time.time() - t0)
+    t_seq_each = float(np.median(t_cells))
     t_seq_total = t_seq_each * P
-    log(f"sequential fit: {t_seq_each:.2f}s/cell -> "
+    log(f"sequential fit: median {t_seq_each:.2f}s/cell over {n_seq} "
+        f"cells (spread {min(t_cells):.2f}-{max(t_cells):.2f}s) -> "
         f"{t_seq_total:.2f}s for {P}")
 
     speedup = t_seq_total / t_pop
     epochs_per_hr = P * epochs / t_pop * 3600.0
-    log(f"epochs/hr (population): {epochs_per_hr:.0f}")
+    log(f"population fit median {t_pop:.2f}s (rep spread {spread:.1%}); "
+        f"epochs/hr (population): {epochs_per_hr:.0f}")
     print(json.dumps({
         "metric": "population_speedup",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup, 3),
+        "epochs_per_hr": round(epochs_per_hr),
+        "pop_fit_s_median": round(t_pop, 3),
+        "pop_fit_rep_spread": round(spread, 4),
+        "seq_cell_s_median": round(t_seq_each, 3),
+        "n_seq_measured": n_seq,
     }))
 
 

@@ -460,10 +460,14 @@ class PopulationTrainer:
         return jax.jit(epoch_fn, donate_argnums=donate)
 
     # ------------------------------------------------------------ fit
-    def fit(self, data, task: TrainTask):
+    def fit(self, data, task: TrainTask, init_params=None):
         """data: (tokens [N,S] int32, lengths [N], labels [N]) host or
         device arrays. Returns a dict with final/best params, monitor
-        state, and per-epoch history [E, P]."""
+        state, and per-epoch history [E, P].
+
+        init_params: optional population-stacked params pytree to start
+        from (warm start / cross-framework parity harnesses); optimizer
+        state initializes fresh."""
         cfg = self.config
         P = task.population
         tokens, lengths, labels = [np.asarray(a) for a in data]
@@ -480,8 +484,12 @@ class PopulationTrainer:
                               else np.arange(P), np.int64)
         sample = (jnp.asarray(tokens[:batch]), jnp.asarray(lengths[:batch]),
                   jnp.asarray(labels[:batch].astype(np.int32)))
-        params, opt_state = self.init_population(sample, P, cfg.seed,
-                                                 seed_ids=seed_ids)
+        if init_params is None:
+            params, opt_state = self.init_population(sample, P, cfg.seed,
+                                                     seed_ids=seed_ids)
+        else:
+            params = jax.tree.map(jnp.asarray, init_params)
+            opt_state = jax.jit(jax.vmap(self.opt_init))(params)
         monitor = init_monitor_state(jnp.asarray(task.lr, jnp.float32))
         # best_params must not alias params: both are donated to the
         # epoch program. Without checkpointing, a tiny placeholder tree

@@ -1,0 +1,225 @@
+"""Full-fit cross-framework A/B: the population engine vs the same
+model math written in plain torch.
+
+Component parity is bit-exact elsewhere (tests/test_models.py,
+tests/test_training.py); this harness converts "components match" into
+"FITS match": identical initial weights (copied from torch), identical
+data/batch order, SGD+momentum, global-norm clip, ReduceLROnPlateau and
+skorch-style early stopping on both sides — the per-epoch train/valid
+loss trajectories must agree within float32 tolerance and the two fits
+must early-stop at the SAME epoch.
+
+Torch side mirrors the reference architecture (reference
+model/base/encoder_decoder_attn_bkp.py:79-413) in plain torch 2.x:
+packed bidirectional GRU encoder, tanh-bridge, Bahdanau MLP attention,
+one decoder step, bias-free generator + log_softmax, CE loss over
+log-prob outputs (the faithful double-log-softmax, SURVEY.md §3.2).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from sign_language_nlp_tpu.models.registry import build_model  # noqa: E402
+from sign_language_nlp_tpu.training.engine import (PopulationTrainer,  # noqa: E402
+                                                   TrainConfig, TrainTask)
+
+VS, VT, E, H, L = 14, 8, 8, 8, 1
+PAD, BOS = 1, 0
+BATCH = 16
+N_TRAIN, N_VALID = 32, 12
+LR = 0.15
+ES_PATIENCE = 2
+PLATEAU = {"factor": 0.2, "patience": 1, "threshold": 1e-4}
+MAX_EPOCHS = 15
+CLIP = 0.5
+
+
+class TorchGRUAttn(torch.nn.Module):
+    """Reference-math GRU classifier in plain torch (independent
+    reimplementation of encoder_decoder_attn_bkp.py:79-413 semantics)."""
+
+    def __init__(self):
+        super().__init__()
+        self.src_embed = torch.nn.Embedding(VS, E)
+        self.rnn = torch.nn.GRU(E, H, L, batch_first=True,
+                                bidirectional=True)
+        self.bridge = torch.nn.Linear(2 * H, H)
+        self.key_layer = torch.nn.Linear(2 * H, H, bias=False)
+        self.query_layer = torch.nn.Linear(H, H, bias=False)
+        self.energy_layer = torch.nn.Linear(H, 1, bias=False)
+        self.dec_cell = torch.nn.GRUCell(E + 2 * H, H)
+        self.tgt_embed = torch.nn.Embedding(VT, E)
+        self.pre_output = torch.nn.Linear(E + 3 * H, H, bias=False)
+        self.generator = torch.nn.Linear(H, VT, bias=False)
+
+    def forward(self, X, lengths):
+        B, S = X.shape
+        valid = X != PAD
+        emb = self.src_embed(X) * valid.unsqueeze(-1)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            emb, lengths, batch_first=True, enforce_sorted=False)
+        out_packed, h_n = self.rnn(packed)
+        enc_out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            out_packed, batch_first=True, total_length=S, padding_value=0.0)
+        hidden_concat = torch.cat([h_n[0::2], h_n[1::2]], dim=2)  # [L,B,2H]
+        init_hidden = torch.tanh(self.bridge(hidden_concat))      # [L,B,H]
+
+        proj_key = self.key_layer(enc_out)                        # [B,S,H]
+        query = init_hidden[-1].unsqueeze(1)                      # [B,1,H]
+        scores = self.energy_layer(
+            torch.tanh(self.query_layer(query) + proj_key))[..., 0]
+        scores = scores.masked_fill(~valid, -1e30).unsqueeze(1)   # [B,1,S]
+        alphas = torch.softmax(scores, dim=-1)
+        context = torch.bmm(alphas, enc_out)                      # [B,1,2H]
+
+        prev_embed = self.tgt_embed(
+            torch.full((B, 1), BOS, dtype=torch.long))
+        x = torch.cat([prev_embed, context], dim=-1)[:, 0, :]
+        h_top = self.dec_cell(x, init_hidden[0])
+        pre = torch.cat([prev_embed[:, 0, :], h_top, context[:, 0, :]],
+                        dim=-1)
+        logits = self.generator(self.pre_output(pre))
+        return torch.log_softmax(logits, dim=-1)
+
+
+def _copy_torch_params(tm: TorchGRUAttn) -> dict:
+    """Torch initial weights → the flax param-tree layout."""
+    def t(x):
+        # np.array(copy=True): jnp.asarray can alias the torch storage
+        # zero-copy on CPU, and torch's in-place opt.step() would then
+        # mutate the "initial" jax params mid-comparison.
+        return jnp.asarray(np.array(x.detach().numpy(), copy=True))
+
+    enc = {}
+    for layer in range(L):
+        for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            enc[f"l{layer}_{direction}"] = {
+                "w_ih": t(getattr(tm.rnn, f"weight_ih_l{layer}{suffix}")).T,
+                "w_hh": t(getattr(tm.rnn, f"weight_hh_l{layer}{suffix}")).T,
+                "b_ih": t(getattr(tm.rnn, f"bias_ih_l{layer}{suffix}")),
+                "b_hh": t(getattr(tm.rnn, f"bias_hh_l{layer}{suffix}")),
+            }
+    return {"params": {
+        "src_embed": {"embedding": t(tm.src_embed.weight)},
+        "tgt_embed": {"embedding": t(tm.tgt_embed.weight)},
+        "encoder": enc,
+        "bridge": {"kernel": t(tm.bridge.weight).T,
+                   "bias": t(tm.bridge.bias)},
+        "decoder": {
+            "attention_key_layer": {"kernel": t(tm.key_layer.weight).T},
+            "attention": {
+                "query_layer": {"kernel": t(tm.query_layer.weight).T},
+                "energy_layer": {"kernel": t(tm.energy_layer.weight).T},
+            },
+            "l0_w_ih": t(tm.dec_cell.weight_ih).T,
+            "l0_b_ih": t(tm.dec_cell.bias_ih),
+            "l0_w_hh": t(tm.dec_cell.weight_hh).T,
+            "l0_b_hh": t(tm.dec_cell.bias_hh),
+            "pre_output_layer": {"kernel": t(tm.pre_output.weight).T},
+        },
+        "generator": {"kernel": t(tm.generator.weight).T},
+    }}
+
+
+def _data(seed=0):
+    rng = np.random.default_rng(seed)
+    n = N_TRAIN + N_VALID
+    y = rng.integers(2, VT, n).astype(np.int32)
+    tokens = np.full((n, 10), PAD, np.int32)
+    lengths = rng.integers(3, 11, n).astype(np.int32)
+    for i in range(n):
+        # class signal + noise → learnable but not instantly saturated
+        sig = 2 + (y[i] - 2) % (VS - 2)
+        row = rng.integers(2, VS, lengths[i])
+        row[:: 2] = sig
+        tokens[i, :lengths[i]] = row
+    return tokens, lengths, y
+
+
+def _torch_fit(tm, tokens, lengths, y):
+    """skorch-semantics loop: fixed-order batches, CE over log-probs,
+    clip, SGD+momentum, plateau on valid_loss, skorch early stopping."""
+    Xtr = torch.tensor(tokens[:N_TRAIN].astype(np.int64))
+    ltr = torch.tensor(lengths[:N_TRAIN].astype(np.int64))
+    ytr = torch.tensor(y[:N_TRAIN].astype(np.int64))
+    Xva = torch.tensor(tokens[N_TRAIN:].astype(np.int64))
+    lva = torch.tensor(lengths[N_TRAIN:].astype(np.int64))
+    yva = torch.tensor(y[N_TRAIN:].astype(np.int64))
+
+    opt = torch.optim.SGD(tm.parameters(), lr=LR, momentum=0.9)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, **PLATEAU)
+    ce = torch.nn.CrossEntropyLoss()
+    es_best, misses = float("inf"), 0
+    train_losses, valid_losses = [], []
+    for _epoch in range(MAX_EPOCHS):
+        batch_losses = []
+        for s in range(0, N_TRAIN, BATCH):
+            opt.zero_grad()
+            out = tm(Xtr[s:s + BATCH], ltr[s:s + BATCH])
+            loss = ce(out, ytr[s:s + BATCH])
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(tm.parameters(), CLIP)
+            opt.step()
+            batch_losses.append(loss.item())
+        train_losses.append(float(np.mean(batch_losses)))
+        with torch.no_grad():
+            v = ce(tm(Xva, lva), yva).item()
+        valid_losses.append(v)
+        sched.step(v)
+        if v < es_best * (1 - 1e-4):
+            es_best, misses = v, 0
+        else:
+            misses += 1
+        if misses >= ES_PATIENCE:
+            break
+    return np.array(train_losses), np.array(valid_losses)
+
+
+def test_full_fit_matches_torch():
+    tokens, lengths, y = _data()
+    torch.manual_seed(0)
+    tm = TorchGRUAttn()
+    init_params = _copy_torch_params(tm)
+
+    t_train, t_valid = _torch_fit(tm, tokens, lengths, y)
+
+    model = build_model("model.EncoderDecoderGRUAttn", VS, VT, PAD, PAD,
+                        bos_idx=BOS,
+                        model_args={"embedding_size": E, "hidden_size": H,
+                                    "num_layers": L, "dropout": 0.0})
+    cfg = TrainConfig(batch_size=BATCH, max_epochs=MAX_EPOCHS, seed=0,
+                      verbose=0, optimizer_args={"momentum": 0.9},
+                      gradient_clipping={"gradient_clip_value": CLIP},
+                      lr_scheduler=PLATEAU,
+                      early_stopping={"patience": ES_PATIENCE,
+                                      "threshold": 1e-4},
+                      scoring=("accuracy",), train_deterministic=True)
+    trainer = PopulationTrainer(model, PAD, VT, cfg)
+    rows = np.arange(N_TRAIN + N_VALID)
+    task = TrainTask(train_rows=[rows[:N_TRAIN]],
+                     valid_rows=[rows[N_TRAIN:]],
+                     lr=np.asarray([LR], np.float32),
+                     dropout=np.asarray([0.0], np.float32))
+    stacked = jax.tree.map(lambda a: a[None], init_params)
+    out = trainer.fit((tokens, lengths, y), task, init_params=stacked)
+
+    j_train = np.asarray(out["history"]["train_loss"])[:, 0]
+    j_valid = np.asarray(out["history"]["valid_loss"])[:, 0]
+    stopped = np.asarray(out["history"]["stopped"])[:, 0]
+
+    # Identical early-stop epoch:
+    j_stop = int(np.argmax(stopped)) if stopped.any() else len(j_valid) - 1
+    t_stop = len(t_valid) - 1
+    assert stopped.any(), "engine fit never early-stopped"
+    assert j_stop == t_stop, (j_stop, t_stop)
+
+    # Loss trajectories agree within float32 drift through the
+    # recurrence (both start from the SAME weights):
+    k = t_stop + 1
+    np.testing.assert_allclose(j_train[:k], t_train[:k], rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(j_valid[:k], t_valid[:k], rtol=2e-3,
+                               atol=2e-3)
