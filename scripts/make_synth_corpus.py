@@ -32,8 +32,20 @@ POOLS = {"orientation": ORIENTATIONS, "movement": MOVEMENTS,
          "handshape": HANDSHAPES}
 
 
+def _frame_count(rng, dist: str) -> int:
+    """uniform: the original 8-120 draw. lognormal: a long-tailed
+    distribution (median ~28, p95 ~110, max 240) shaped like real video
+    corpora — most clips are short, a few are very long. This is the
+    regime where length bucketing and population compaction pay."""
+    if dist == "lognormal":
+        v = int(round(rng.lognormvariate(3.35, 0.65)))
+        return max(4, min(v, 240))
+    return rng.randint(8, 120)
+
+
 def make_corpus(out_dir: str, n_classes: int, n_samples: int,
-                seed: int = 1, null_rate: float = 0.12) -> None:
+                seed: int = 1, null_rate: float = 0.12,
+                length_dist: str = "uniform") -> None:
     rng = random.Random(seed)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -54,7 +66,7 @@ def make_corpus(out_dir: str, n_classes: int, n_samples: int,
     n_written = 0
     for (label, sig), count in zip(classes, counts):
         for i in range(count):
-            n_frames = rng.randint(8, 120)
+            n_frames = _frame_count(rng, length_dist)
             frames = []
             for _ in range(n_frames):
                 frame = {}
@@ -80,5 +92,8 @@ if __name__ == "__main__":
     ap.add_argument("--classes", type=int, default=100)
     ap.add_argument("--samples", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--length-dist", default="uniform",
+                    choices=["uniform", "lognormal"])
     args = ap.parse_args()
-    make_corpus(args.out, args.classes, args.samples, args.seed)
+    make_corpus(args.out, args.classes, args.samples, args.seed,
+                length_dist=args.length_dist)

@@ -36,10 +36,22 @@ def main():
     ap.add_argument("--max-epochs", type=int, default=30)
     ap.add_argument("--classes", type=int, default=100)
     ap.add_argument("--samples", type=int, default=2000)
+    ap.add_argument("--compat", default="{}",
+                    help='compat_args JSON, e.g. \'{"tgt_input": "bos"}\' '
+                         "for the non-leak decoder input path")
+    ap.add_argument("--train-args", default="{}",
+                    help='train_args JSON, e.g. '
+                         '\'{"length_bucketing": true}\'')
     args = ap.parse_args()
+    compat = json.loads(args.compat)
+    train_args = json.loads(args.train_args)
 
-    # Per-model workdir so manifests don't cross-resume between models:
-    workdir = Path(f"work/full-shape-exp-{args.model.split('.')[-1]}")
+    # Per-model (and per-quirk-set) workdir so manifests don't
+    # cross-resume between configurations:
+    tag = "-".join([args.model.split(".")[-1],
+                    *[f"{k}={v}" for k, v in sorted(compat.items())],
+                    *[f"{k}={v}" for k, v in sorted(train_args.items())]])
+    workdir = Path(f"work/full-shape-exp-{tag}")
 
     if not CORPUS.exists():
         from scripts.make_synth_corpus import make_corpus
@@ -83,7 +95,8 @@ def main():
         "workdir": str(workdir),
         "mesh_args": {"max_population": 32},
         "precision_args": {},
-        "compat_args": {},
+        "compat_args": compat,
+        "train_args": train_args,
     }
 
     t0 = time.time()

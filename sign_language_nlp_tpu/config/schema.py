@@ -57,4 +57,8 @@ ARGUMENTS = [
              help='Dtype policy: {"compute_dtype": "bfloat16", ...}'),
     Argument('-compat', '--compat_args', type=dict, default={},
              help='Reference-quirk compatibility flags (see models/)'),
+    Argument('-train', '--train_args', type=dict, default={},
+             help='Engine knobs: {"length_bucketing": bool, "remat": '
+                  'bool, "compact": bool, "shuffle": bool, '
+                  '"bucket_percentile": float}'),
 ]

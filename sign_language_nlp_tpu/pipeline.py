@@ -72,6 +72,7 @@ def _train_config_from_args(args: dict) -> TrainConfig:
     scoring = args.get("scoring") or ["accuracy"]
     if not isinstance(scoring, list):
         scoring = [scoring]
+    ta = args.get("train_args") or {}
     return TrainConfig(
         optimizer=args.get("optimizer") or "torch.optim.SGD",
         optimizer_args=args.get("optimizer_args") or {},
@@ -88,7 +89,11 @@ def _train_config_from_args(args: dict) -> TrainConfig:
         # Deep early-stopped fits (the reference's 200-epoch workload)
         # shed finished cells from the lockstep; shallow fits don't pay
         # the per-bucket recompiles.
-        compact=int(args["max_epochs"]) >= 100,
+        compact=bool(ta.get("compact", int(args["max_epochs"]) >= 100)),
+        remat=bool(ta.get("remat", False)),
+        shuffle=bool(ta.get("shuffle", False)),
+        length_bucketing=bool(ta.get("length_bucketing", False)),
+        bucket_percentile=float(ta.get("bucket_percentile", 50.0)),
     )
 
 

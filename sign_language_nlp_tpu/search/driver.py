@@ -296,19 +296,36 @@ class GridSearchDriver:
                 candidates[cand_ids[0]])["model_args"])
             n_corpus, seq_len = np.asarray(data[0]).shape
 
-            # Group-wide row-padding floors: every chunk of this group
-            # shares ONE compiled epoch program.
-            y_all = np.asarray(data[2])
-            pad_rows_to = (
-                max(len(train_valid_split(y_all[ft], n_splits=5)[0])
-                    for ft, _ in folds),
-                max(len(train_valid_split(y_all[ft], n_splits=5)[1])
-                    for ft, _ in folds))
-
             trainer = self._trainer_for(model, nested_first)
+
+            # Group-wide row-padding floors: every chunk of this group
+            # shares ONE compiled epoch program. With length bucketing
+            # the floors are per-bucket (fold membership + corpus
+            # lengths fix each cell's bucket row counts exactly).
+            y_all = np.asarray(data[2])
+            lengths_all = np.asarray(data[1])
+            bucket_seq = trainer._bucket_plan(lengths_all, int(seq_len))
+
+            def bucket_counts(rows):
+                if bucket_seq is None:
+                    return (len(rows),)
+                s = int((lengths_all[rows] <= bucket_seq).sum())
+                return (s, len(rows) - s)
+
+            inner = [train_valid_split(y_all[ft], n_splits=5)
+                     for ft, _ in folds]
+            per_fold = [(bucket_counts(ft[tr]), bucket_counts(ft[va]))
+                        for (ft, _), (tr, va) in zip(folds, inner)]
+            n_buckets = 1 if bucket_seq is None else 2
+            floors = tuple(
+                (max(tr[bi] for tr, _ in per_fold),
+                 max(va[bi] for _, va in per_fold))
+                for bi in range(n_buckets))
+            pad_rows_to = floors[0] if bucket_seq is None else floors
+
             pop, pad_to = self._plan_population(
                 trainer, margs, int(n_corpus), int(seq_len),
-                len(pending), pad_rows_to)
+                len(pending), pad_rows_to, bucket_seq=bucket_seq)
 
             start = 0
             while start < len(pending):
@@ -378,7 +395,8 @@ class GridSearchDriver:
     # ------------------------------------------------------------------
     def _plan_population(self, trainer, margs: dict, n_corpus: int,
                          seq_len: int, n_pending: int,
-                         pad_rows_to: tuple) -> tuple:
+                         pad_rows_to: tuple,
+                         bucket_seq=None) -> tuple:
         """Size the population from MEASURED bytes: AOT-compile the epoch
         program and read XLA's memory_analysis() (the compile is reused
         by the actual fit via the persistent cache). Returns
@@ -405,7 +423,8 @@ class GridSearchDriver:
                 lr=np.full(P, 0.1, np.float32),
                 dropout=np.zeros(P, np.float32),
                 pad_rows_to=pad_rows_to)
-            m = trainer.epoch_memory_bytes(n_corpus, seq_len, task)
+            m = trainer.epoch_memory_bytes(n_corpus, seq_len, task,
+                                           bucket_seq=bucket_seq)
             # Some backends compile but report zero/garbage stats:
             return m if (m is not None and m > base) else None
 

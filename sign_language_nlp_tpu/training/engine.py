@@ -34,6 +34,18 @@ program:
 Batch order note: the reference's train DataLoader does NOT shuffle
 (helper.py:73-77 sets only collate_fn), so epochs see fixed contiguous
 batches; `shuffle=False` reproduces that, `shuffle=True` is available.
+
+Length bucketing (`TrainConfig.length_bucketing`): the epoch program
+generalizes to a tuple of static sequence buckets — short rows train in
+a truncated [*, S_short] view of the corpus, so they stop paying S_max
+attention/scan compute. This is the static-shape TPU replacement for
+the reference's packed sequences / `include_lengths` economy
+(dataset_builder.py:103, encoder_decoder.py pack_padded): instead of
+per-batch dynamic lengths (which would defeat XLA), two compiled
+geometries cover the length distribution. Truncation is exact (models
+mask strictly on `lengths`), but bucket membership regroups batches, so
+trajectories match the unbucketed program only when the batch sequence
+is unchanged (see tests/test_bucketing.py for the bit-exact case).
 """
 from __future__ import annotations
 
@@ -70,6 +82,52 @@ def _pad_idx_matrix(rows: list, pad_to: int) -> tuple:
     return idx, w
 
 
+def plan_bucket_seq(lengths, seq_len: int,
+                    percentile: float = 50.0) -> Optional[int]:
+    """Pick the short-bucket sequence length, or None when bucketing
+    cannot pay: the corpus-length percentile rounded UP to a multiple
+    of 8, rejected when it saves less than 1/8 of S_max."""
+    seq_len = int(seq_len)
+    if seq_len <= 16 or len(lengths) == 0:
+        return None
+    s = int(np.percentile(np.asarray(lengths), percentile))
+    s = max(8, ((s + 7) // 8) * 8)
+    if s >= (seq_len * 7) // 8:
+        return None
+    return s
+
+
+def _split_rows_by_bucket(rows_list: list, lengths,
+                          bucket_seq: Optional[int]) -> list:
+    """Per-cell row lists → per-bucket per-cell row lists (stable order
+    within a bucket). lengths=None routes every row to the LAST bucket
+    (used for abstract memory probes where membership is unknown)."""
+    if bucket_seq is None:
+        return [rows_list]
+    short, long_ = [], []
+    for r in rows_list:
+        r = np.asarray(r, np.int64)
+        if lengths is None:
+            short.append(r[:0])
+            long_.append(r)
+        else:
+            m = np.asarray(lengths)[r] <= bucket_seq
+            short.append(r[m])
+            long_.append(r[~m])
+    return [short, long_]
+
+
+@dataclass(frozen=True)
+class Geometry:
+    """Static shape signature of one epoch program. `buckets` is a
+    tuple of (seq_len, n_train_batches, n_valid_batches) — one entry
+    without length bucketing, (short, full) with it."""
+
+    batch: int
+    eval_batch: int
+    buckets: tuple
+
+
 @dataclass
 class TrainTask:
     """One population: per-cell row indices + hyperparameters."""
@@ -87,7 +145,9 @@ class TrainTask:
     seed_ids: Optional[np.ndarray] = None
     # Floor (n_train_rows, n_valid_rows) for the padded row matrices:
     # callers that split one grid into many chunks pass the group-wide
-    # maxima so every chunk shares ONE compiled epoch program.
+    # maxima so every chunk shares ONE compiled epoch program. With
+    # length bucketing the floors are per-bucket:
+    # ((n_tr_short, n_va_short), (n_tr_full, n_va_full)).
     pad_rows_to: Optional[tuple] = None
 
     @property
@@ -130,6 +190,23 @@ class TrainConfig:
     # compile is only worth paying for a long tail (buckets are cached,
     # so later chunks in a grid amortize it).
     compact_min_remaining: int = 20
+    # Length bucketing: rows whose length fits the short bucket train in
+    # a truncated [*, S_short] program — short rows stop paying S_max
+    # attention/scan compute. The TPU answer to torch's packed sequences
+    # (reference dataset_builder.py:103 include_lengths economy): one
+    # extra STATIC geometry instead of per-batch dynamic lengths, so XLA
+    # still sees fixed shapes. Truncating pad columns is exact when the
+    # model masks strictly on `lengths` (the RNN family always; the
+    # transformer with mask_memory=True) — but the faithful
+    # `mask_memory=False` quirk ATTENDS pad keys in cross-attention
+    # (reference model/transformer.py never passes a memory mask), so
+    # under that quirk short-bucket logits differ by exactly the dropped
+    # pad-key attention mass; fit() logs a note.
+    length_bucketing: bool = False
+    # Short-bucket cut: corpus length percentile, rounded up to a
+    # multiple of 8 (sublane-friendly). Bucketing auto-disables when the
+    # cut would not save (>= 7/8 of S_max) or the corpus is tiny.
+    bucket_percentile: float = 50.0
 
 
 def _plateau_from_config(cfg: TrainConfig) -> PlateauConfig:
@@ -242,44 +319,90 @@ class PopulationTrainer:
         self._epoch_fn_cache.clear()
 
     # ------------------------------------------------------------ geometry
-    def _geometry(self, task: TrainTask) -> tuple:
-        """(batch, eval_batch, n_train_batches, n_valid_batches) for a
-        task — honoring pad_rows_to so chunked populations share one
-        compiled program."""
-        cfg = self.config
-        n_tr = max(len(r) for r in task.train_rows)
-        n_va = max(max(len(r) for r in task.valid_rows), 1)
-        if task.pad_rows_to is not None:
-            n_tr = max(n_tr, int(task.pad_rows_to[0]))
-            n_va = max(n_va, int(task.pad_rows_to[1]))
-        batch = min(cfg.batch_size, max(n_tr, 1))
-        eval_batch = min(cfg.eval_batch_size, n_va)
-        return (batch, eval_batch, _ceil_div(n_tr, batch),
-                _ceil_div(n_va, eval_batch))
+    @staticmethod
+    def _pad_floors(pad_rows_to, n_buckets: int) -> Optional[list]:
+        """Normalize TrainTask.pad_rows_to to per-bucket (n_tr, n_va)
+        pairs. Flat (n_tr, n_va) only makes sense for one bucket."""
+        if pad_rows_to is None:
+            return None
+        nested = isinstance(pad_rows_to[0], (tuple, list))
+        if not nested:
+            if n_buckets != 1:
+                raise ValueError(
+                    "length bucketing needs per-bucket pad_rows_to "
+                    "floors ((n_tr_s, n_va_s), (n_tr_f, n_va_f)); got a "
+                    f"flat pair for {n_buckets} buckets")
+            return [(int(pad_rows_to[0]), int(pad_rows_to[1]))]
+        if len(pad_rows_to) != n_buckets:
+            raise ValueError(f"pad_rows_to has {len(pad_rows_to)} bucket "
+                             f"floors for {n_buckets} buckets")
+        return [(int(a), int(b)) for a, b in pad_rows_to]
 
-    def _get_epoch_fn(self, n_train_batches, n_valid_batches, batch,
-                      eval_batch):
-        shape_key = (n_train_batches, n_valid_batches, batch, eval_batch)
-        if shape_key not in self._epoch_fn_cache:
-            self._epoch_fn_cache[shape_key] = self._build_epoch_fn(
-                n_train_batches, n_valid_batches, batch, eval_batch)
-        return self._epoch_fn_cache[shape_key]
+    def _geometry(self, train_rows_b: list, valid_rows_b: list,
+                  seq_lens: tuple, pad_rows_to=None) -> Geometry:
+        """Static epoch-program geometry from per-bucket per-cell row
+        lists — honoring pad_rows_to floors so chunked populations share
+        one compiled program."""
+        cfg = self.config
+        floors = self._pad_floors(pad_rows_to, len(seq_lens))
+        n_tr_b, n_va_b = [], []
+        for bi in range(len(seq_lens)):
+            n_tr = max(len(r) for r in train_rows_b[bi])
+            n_va = max(len(r) for r in valid_rows_b[bi])
+            if floors is not None:
+                n_tr = max(n_tr, floors[bi][0])
+                n_va = max(n_va, floors[bi][1])
+            n_tr_b.append(n_tr)
+            n_va_b.append(n_va)
+        if sum(n_va_b) == 0:
+            # The monitor needs a valid loss every epoch; keep one
+            # (weight-0) eval batch in the full-length bucket.
+            n_va_b[-1] = 1
+        batch = min(cfg.batch_size, max(max(n_tr_b), 1))
+        eval_batch = min(cfg.eval_batch_size, max(max(n_va_b), 1))
+        buckets = tuple(
+            (int(seq_lens[bi]), _ceil_div(n_tr_b[bi], batch),
+             _ceil_div(n_va_b[bi], eval_batch))
+            for bi in range(len(seq_lens)))
+        return Geometry(batch=batch, eval_batch=eval_batch,
+                        buckets=buckets)
+
+    def _bucket_plan(self, lengths, seq_len: int) -> Optional[int]:
+        if not self.config.length_bucketing:
+            return None
+        return plan_bucket_seq(lengths, seq_len,
+                               self.config.bucket_percentile)
+
+    def _get_epoch_fn(self, geom: Geometry):
+        if geom not in self._epoch_fn_cache:
+            self._epoch_fn_cache[geom] = self._build_epoch_fn(geom)
+        return self._epoch_fn_cache[geom]
 
     # ------------------------------------------------------------ memory
     def epoch_memory_bytes(self, n_corpus: int, seq_len: int,
-                           task: TrainTask) -> Optional[int]:
+                           task: TrainTask,
+                           bucket_seq: Optional[int] = None
+                           ) -> Optional[int]:
         """Peak per-device HBM bytes of the compiled epoch program for
         this task's geometry, from XLA's memory_analysis() — no data is
         moved and nothing executes (AOT lower+compile on abstract
         shapes; the persistent compile cache makes the later jit call on
         real arrays a cache hit). Returns None when the backend can't
-        report memory stats."""
+        report memory stats. With bucket_seq the probe sizes the
+        two-bucket program (geometry comes from pad_rows_to floors —
+        probe row membership is unknown without corpus lengths)."""
         from ..utils import log as _log
 
         try:
             cfg = self.config
             P = task.population
-            batch, eval_batch, n_tb, n_vb = self._geometry(task)
+            seq_lens = ((int(seq_len),) if bucket_seq is None
+                        else (int(bucket_seq), int(seq_len)))
+            geom = self._geometry(
+                _split_rows_by_bucket(task.train_rows, None, bucket_seq),
+                _split_rows_by_bucket(task.valid_rows, None, bucket_seq),
+                seq_lens, task.pad_rows_to)
+            batch, eval_batch = geom.batch, geom.eval_batch
             i32, f32 = jnp.int32, jnp.float32
 
             pop_sharding = None
@@ -316,18 +439,24 @@ class PopulationTrainer:
             best_s = (params_s if cfg.keep_best_params
                       else shard_tree({"unused": jax.ShapeDtypeStruct(
                           (P, 1), f32)}))
-            data_s = (abs_((n_corpus, seq_len), i32),
-                      abs_((n_corpus,), i32), abs_((n_corpus,), i32))
-            ti = abs_((P, n_tb * batch), i32, shard=True)
-            tw = abs_((P, n_tb * batch), f32, shard=True)
-            vi = abs_((P, n_vb * eval_batch), i32, shard=True)
-            vw = abs_((P, n_vb * eval_batch), f32, shard=True)
+            toks_s = tuple(abs_((n_corpus, s), i32)
+                           for s, _, _ in geom.buckets)
+            data_s = (toks_s, abs_((n_corpus,), i32),
+                      abs_((n_corpus,), i32))
+            ti = tuple(abs_((P, n_tb * batch), i32, shard=True)
+                       for _, n_tb, _ in geom.buckets)
+            tw = tuple(abs_((P, n_tb * batch), f32, shard=True)
+                       for _, n_tb, _ in geom.buckets)
+            vi = tuple(abs_((P, n_vb * eval_batch), i32, shard=True)
+                       for _, _, n_vb in geom.buckets)
+            vw = tuple(abs_((P, n_vb * eval_batch), f32, shard=True)
+                       for _, _, n_vb in geom.buckets)
             rate_s = abs_((P,), f32, shard=True)
             rngs_s = jax.eval_shape(
                 lambda ids: jax.vmap(lambda i: jax.random.fold_in(
                     jax.random.key(0), i))(ids), abs_((P,), i32))
 
-            epoch_fn = self._get_epoch_fn(n_tb, n_vb, batch, eval_batch)
+            epoch_fn = self._get_epoch_fn(geom)
             compiled = epoch_fn.lower(
                 params_s, opt_s, monitor_s, best_s, data_s,
                 ti, tw, vi, vw, rate_s, rngs_s).compile()
@@ -357,12 +486,12 @@ class PopulationTrainer:
                               sample_weight=w)
         return loss, out
 
-    def _build_epoch_fn(self, n_train_batches: int, n_valid_batches: int,
-                        batch: int, eval_batch: int):
+    def _build_epoch_fn(self, geom: Geometry):
         cfg = self.config
         V = self.num_classes
         criterion = self.criterion
         tgt_pad = self.tgt_pad_idx
+        batch, eval_batch = geom.batch, geom.eval_batch
 
         def gather(data, idx):
             tokens, lengths, labels = data
@@ -395,37 +524,63 @@ class PopulationTrainer:
             return stats
 
         def cell_epoch(params, opt_state, monitor, best_params, data,
-                       train_idx, train_w, valid_idx, valid_w, rate, rng):
+                       train_idx_t, train_w_t, valid_idx_t, valid_w_t,
+                       rate, rng):
+            toks_t, lengths, labels = data
             lr_eff = jnp.where(monitor.stopped, 0.0, monitor.lr)
-            stats0 = init_metric_stats(V)
 
-            def train_body(carry, b):
-                params, opt_state, stats = carry
-                idx_b = jax.lax.dynamic_slice_in_dim(train_idx, b * batch,
-                                                     batch)
-                w_b = jax.lax.dynamic_slice_in_dim(train_w, b * batch, batch)
-                # Freeze stopped cells' contributions (weights → 0 keeps
-                # metrics meaningless for them; they're masked on host).
-                step_rng = jax.random.fold_in(rng, b)
-                params, opt_state, stats = cell_train_batch(
-                    params, opt_state, data, idx_b, w_b, lr_eff, rate,
-                    step_rng, stats)
-                return (params, opt_state, stats), None
+            # One scan per bucket; the batch counter `b + base` runs
+            # globally so per-batch RNG keys match the unbucketed
+            # program when the batch sequence is the same. (Exact
+            # trajectory equality additionally needs dropout off:
+            # mask bits within a [B,S,E] draw depend on S.)
+            carry = (params, opt_state, init_metric_stats(V))
+            base = 0
+            for bi, (_, n_tb, _) in enumerate(geom.buckets):
+                if n_tb == 0:
+                    continue
+                data_b = (toks_t[bi], lengths, labels)
+                train_idx, train_w = train_idx_t[bi], train_w_t[bi]
 
-            (params, opt_state, train_stats), _ = jax.lax.scan(
-                train_body, (params, opt_state, stats0),
-                jnp.arange(n_train_batches))
+                def train_body(carry, b, data_b=data_b,
+                               train_idx=train_idx, train_w=train_w,
+                               base=base):
+                    params, opt_state, stats = carry
+                    idx_b = jax.lax.dynamic_slice_in_dim(
+                        train_idx, b * batch, batch)
+                    w_b = jax.lax.dynamic_slice_in_dim(
+                        train_w, b * batch, batch)
+                    # Freeze stopped cells' contributions (weights → 0
+                    # keeps metrics meaningless for them; masked on host).
+                    step_rng = jax.random.fold_in(rng, b + base)
+                    params, opt_state, stats = cell_train_batch(
+                        params, opt_state, data_b, idx_b, w_b, lr_eff,
+                        rate, step_rng, stats)
+                    return (params, opt_state, stats), None
 
-            def valid_body(stats, b):
-                idx_b = jax.lax.dynamic_slice_in_dim(valid_idx,
-                                                     b * eval_batch,
-                                                     eval_batch)
-                w_b = jax.lax.dynamic_slice_in_dim(valid_w, b * eval_batch,
-                                                   eval_batch)
-                return cell_eval_batch(params, data, idx_b, w_b, stats), None
+                carry, _ = jax.lax.scan(train_body, carry,
+                                        jnp.arange(n_tb))
+                base += n_tb
+            params, opt_state, train_stats = carry
 
-            valid_stats, _ = jax.lax.scan(valid_body, init_metric_stats(V),
-                                          jnp.arange(n_valid_batches))
+            valid_stats = init_metric_stats(V)
+            for bi, (_, _, n_vb) in enumerate(geom.buckets):
+                if n_vb == 0:
+                    continue
+                data_b = (toks_t[bi], lengths, labels)
+                valid_idx, valid_w = valid_idx_t[bi], valid_w_t[bi]
+
+                def valid_body(stats, b, data_b=data_b,
+                               valid_idx=valid_idx, valid_w=valid_w):
+                    idx_b = jax.lax.dynamic_slice_in_dim(
+                        valid_idx, b * eval_batch, eval_batch)
+                    w_b = jax.lax.dynamic_slice_in_dim(
+                        valid_w, b * eval_batch, eval_batch)
+                    return cell_eval_batch(params, data_b, idx_b, w_b,
+                                           stats), None
+
+                valid_stats, _ = jax.lax.scan(valid_body, valid_stats,
+                                              jnp.arange(n_vb))
 
             names = tuple(cfg.scoring)
             train_metrics = finalize_metric_stats(train_stats,
@@ -471,14 +626,31 @@ class PopulationTrainer:
         cfg = self.config
         P = task.population
         tokens, lengths, labels = [np.asarray(a) for a in data]
+        S_max = int(tokens.shape[1])
 
-        batch, eval_batch, n_train_batches, n_valid_batches = \
-            self._geometry(task)
+        bucket_seq = self._bucket_plan(lengths, S_max)
+        seq_lens = ((S_max,) if bucket_seq is None
+                    else (bucket_seq, S_max))
+        train_rows_b = _split_rows_by_bucket(task.train_rows, lengths,
+                                             bucket_seq)
+        valid_rows_b = _split_rows_by_bucket(task.valid_rows, lengths,
+                                             bucket_seq)
+        geom = self._geometry(train_rows_b, valid_rows_b, seq_lens,
+                              task.pad_rows_to)
+        batch, eval_batch = geom.batch, geom.eval_batch
+        if bucket_seq is not None:
+            if cfg.verbose >= 2:
+                log(f"  length buckets: S={seq_lens} train batches="
+                    f"{[n for _, n, _ in geom.buckets]}")
+            if getattr(self.model, "mask_memory", True) is False \
+                    and cfg.verbose >= 1:
+                log("  note: mask_memory=False attends pad keys — "
+                    "short-bucket logits drop that pad attention mass")
 
-        train_idx, train_w = _pad_idx_matrix(task.train_rows,
-                                             n_train_batches * batch)
-        valid_idx, valid_w = _pad_idx_matrix(task.valid_rows,
-                                             n_valid_batches * eval_batch)
+        train_mats = [_pad_idx_matrix(train_rows_b[bi], n_tb * batch)
+                      for bi, (_, n_tb, _) in enumerate(geom.buckets)]
+        valid_mats = [_pad_idx_matrix(valid_rows_b[bi], n_vb * eval_batch)
+                      for bi, (_, _, n_vb) in enumerate(geom.buckets)]
 
         seed_ids = np.asarray(task.seed_ids if task.seed_ids is not None
                               else np.arange(P), np.int64)
@@ -498,20 +670,27 @@ class PopulationTrainer:
                        if cfg.keep_best_params
                        else {"unused": jnp.zeros((P, 1), jnp.float32)})
 
-        data_dev = self._replicate((jnp.asarray(tokens),
-                                    jnp.asarray(lengths),
+        # One truncated corpus view per bucket (the last is the full
+        # array; short views cost N·S_short extra i32 HBM — tiny next to
+        # the activation savings they unlock).
+        toks_t = tuple(jnp.asarray(tokens[:, :s] if s < S_max else tokens)
+                       for s, _, _ in geom.buckets)
+        data_dev = self._replicate((toks_t, jnp.asarray(lengths),
                                     jnp.asarray(labels.astype(np.int32))))
         params = self._shard_population(params)
         opt_state = self._shard_population(opt_state)
         best_params = self._shard_population(best_params)
-        train_idx = self._shard_population(jnp.asarray(train_idx))
-        train_w = self._shard_population(jnp.asarray(train_w))
-        valid_idx = self._shard_population(jnp.asarray(valid_idx))
-        valid_w = self._shard_population(jnp.asarray(valid_w))
+        train_idx = self._shard_population(
+            tuple(jnp.asarray(m[0]) for m in train_mats))
+        train_w = self._shard_population(
+            tuple(jnp.asarray(m[1]) for m in train_mats))
+        valid_idx = self._shard_population(
+            tuple(jnp.asarray(m[0]) for m in valid_mats))
+        valid_w = self._shard_population(
+            tuple(jnp.asarray(m[1]) for m in valid_mats))
         rate = self._shard_population(jnp.asarray(task.dropout, jnp.float32))
 
-        epoch_fn = self._get_epoch_fn(n_train_batches, n_valid_batches,
-                                      batch, eval_batch)
+        epoch_fn = self._get_epoch_fn(geom)
 
         # --- epoch loop (with optional population compaction) ----------
         # `orig_of[slot]` maps a device slot to its original cell index;
@@ -520,7 +699,7 @@ class PopulationTrainer:
         P_orig = P
         orig_of = np.arange(P)
         snapshots: dict = {}  # orig idx → dict of host pytrees/rows
-        cur_train_rows = list(task.train_rows)
+        cur_train_rows_b = [list(rows) for rows in train_rows_b]
 
         def snapshot(slot_idx, device_slot):
             snapshots[int(slot_idx)] = {
@@ -534,7 +713,6 @@ class PopulationTrainer:
 
         history: list = []
         base_key = jax.random.key(cfg.seed + 1)
-        n_pad = n_train_batches * batch
         for epoch in range(cfg.max_epochs):
             # Per-slot stable RNG identity (invariant to compaction and
             # population packing): the seed_id of the slot's original
@@ -542,15 +720,20 @@ class PopulationTrainer:
             slot_sids = seed_ids[np.maximum(orig_of, 0)]
             if cfg.shuffle:
                 # Per-epoch, per-cell permutation of the valid row prefix
-                # (padding rows stay in place so batch weights hold).
-                idx_host = np.zeros((P, n_pad), np.int32)
-                for i, r in enumerate(cur_train_rows):
-                    r = np.asarray(r, np.int32)
-                    cell_rng = np.random.default_rng(
-                        ((cfg.seed + 1) * 100003 + epoch) * 1009
-                        + int(slot_sids[i]))
-                    idx_host[i, :len(r)] = r[cell_rng.permutation(len(r))]
-                train_idx = self._shard_population(jnp.asarray(idx_host))
+                # within each bucket (padding rows stay in place so batch
+                # weights hold).
+                new_idx = []
+                for bi, (_, n_tb, _) in enumerate(geom.buckets):
+                    idx_host = np.zeros((P, n_tb * batch), np.int32)
+                    for i, r in enumerate(cur_train_rows_b[bi]):
+                        r = np.asarray(r, np.int32)
+                        cell_rng = np.random.default_rng(
+                            ((cfg.seed + 1) * 100003 + epoch) * 1009
+                            + int(slot_sids[i]) + bi * 7919)
+                        idx_host[i, :len(r)] = r[
+                            cell_rng.permutation(len(r))]
+                    new_idx.append(jnp.asarray(idx_host))
+                train_idx = self._shard_population(tuple(new_idx))
             rngs = jax.vmap(
                 lambda i: jax.random.fold_in(
                     jax.random.fold_in(base_key, epoch), i))(
@@ -639,7 +822,8 @@ class PopulationTrainer:
                     valid_idx = self._shard_population(take0(valid_idx))
                     valid_w = self._shard_population(take0(valid_w))
                     rate = self._shard_population(take0(rate))
-                    cur_train_rows = [cur_train_rows[s] for s in take]
+                    cur_train_rows_b = [[rows[s] for s in take]
+                                        for rows in cur_train_rows_b]
                     orig_of = new_orig
                     P = new_P
                     if cfg.verbose >= 1:
