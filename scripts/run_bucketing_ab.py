@@ -53,7 +53,8 @@ def main():
 
     setup_compilation_cache()
 
-    corpus = Path("work/synth-corpus-longtail")
+    corpus = Path("work/synth-corpus-longtail-small"
+                  if args.small else "work/synth-corpus-longtail")
     n_samples = 120 if args.small else 2000
     n_classes = 10 if args.small else 100
     if not corpus.exists():

@@ -52,7 +52,8 @@ def main():
 
     setup_compilation_cache()
 
-    corpus = Path("work/synth-corpus-longtail")
+    corpus = Path("work/synth-corpus-longtail-small"
+                  if args.small else "work/synth-corpus-longtail")
     if not corpus.exists():
         from scripts.make_synth_corpus import make_corpus
 
