@@ -62,8 +62,14 @@ def main():
         else:
             jax.config.update("jax_default_prng_impl", "threefry2x32")
         dtype = "bfloat16" if variant == "bf16" else "float32"
-        compat = ({"attn_backend": "pallas"} if "pallas" in variant
-                  else {})
+        # "base"/"big" run the shipped default (attn_backend=auto);
+        # force a path with "...pallas" / "...xlaattn" variants.
+        if "pallas" in variant:
+            compat = {"attn_backend": "pallas"}
+        elif "xlaattn" in variant:
+            compat = {"attn_backend": "xla"}
+        else:
+            compat = {}
         model = build_model("model.Transformer", vs, vt, 1, 1,
                             model_args=margs_v, compat_args=compat,
                             precision_args={"compute_dtype": dtype})

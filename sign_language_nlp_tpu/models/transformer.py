@@ -191,7 +191,12 @@ class Transformer(nn.Module):
     causal_encoder: bool = True
     mask_memory: bool = False
     tgt_input: str = "label"
-    attn_backend: str = "xla"  # "pallas" routes MHA through the fused kernel
+    # "auto" (default): train-with-dropout attention routes through the
+    # fused Pallas kernel on TPU when head_dim < 128 (measured ~6% epoch
+    # win at the grid's dominant geometries, DESIGN.md §6b); everything
+    # else — eval, D>=128, non-TPU — stays on XLA's batched fusion.
+    # "xla" / "pallas" force a path.
+    attn_backend: str = "auto"
     # scan_layers stacks per-layer params [L, ...] and lax.scans over
     # them: the compiled HLO no longer grows with num_layers, which cuts
     # compile time ~Lx — load-bearing when the grid sweeps num_layers

@@ -42,6 +42,18 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     assert E % num_heads == 0, "embed dim must divide num_heads"
     head_dim = E // num_heads
 
+    if backend == "auto":
+        # Measured policy (DESIGN.md §6b, round 2): the fused train
+        # kernel beats XLA's batched attention when head_dim < 128
+        # (XLA's contractions are MXU-starved there; the kernel also
+        # skips the head split/merge copies). At D=128 XLA is already
+        # MXU-aligned and wins — and the eval path is always XLA's.
+        backend = ("pallas"
+                   if (not deterministic and dropout_rng is not None
+                       and head_dim < 128
+                       and jax.default_backend() == "tpu")
+                   else "xla")
+
     if backend == "pallas":
         if deterministic or dropout_rng is None:
             from .pallas_attention import multi_head_attention_pallas

@@ -17,14 +17,25 @@ VJP residuals (observed: 22.3G > 15.75G capacity). Heads are split
 *inside* the kernel via reshape + batched dot_general, which also
 deletes the transpose copies the XLA path pays.
 
-Per program instance (one batch row, all H heads):
-    Qh = reshape(q, [Sq,H,D]);  S_h = Qh·Khᵀ·scale + bias
+Per program instance (a BLOCK of Bb batch rows, all H heads):
+    S_h = Qh·Khᵀ·scale + bias    (batched dot, batch dim 0 — Bb rows
+                                  ride one Mosaic op instead of Bb
+                                  separate grid programs)
     P  = softmax(S_h);  Pd = P ⊙ M / (1-r)   (M from the TPU PRNG)
     O  = concat_h(Pd_h·Vh)                       — forward
     dV, dP, dS, dQ, dK by flash-style algebra    — backward,
 regenerating the identical dropout mask from seeds[program_id]
 (pltpu.prng_seed / prng_random_bits; scalars via
 PrefetchScalarGridSpec).
+
+Rows-per-program (round-2 re-tile, VERDICT item 10): the round-1
+kernels ran ONE batch row per grid program, so every dot was a D=32
+contraction on a lone [S,D] operand — too little work per program to
+keep the MXU busy. Now `_rows_per_program` picks the largest divisor
+of B that fits VMEM (override: PALLAS_ROWS_PER_PROGRAM), and every
+head's dot runs Bb rows batched (batch dims at position 0, the Mosaic
+requirement). The A/B against XLA's fused attention at bench geometry
+is recorded in DESIGN.md §6b.
 
 bias is head-shared [B, Sq, Sk] (the framework's masks are per-row,
 never per-head). On non-TPU backends the kernels run in interpreter
@@ -56,15 +67,35 @@ def _keep_mask(shape, rate):
 
 
 def _head_slice(x, h, D):
-    """Static lane slice [S, E] → [S, D] for head h (Mosaic cannot
+    """Static lane slice [..., E] → [..., D] for head h (Mosaic cannot
     reshape across the lane dim, but static lane slices lower fine)."""
-    return x[:, h * D:(h + 1) * D]
+    return x[..., h * D:(h + 1) * D]
 
 
-def _probs_one_head(qh, kh, bias, scale):
-    """qh [Sq,D], kh [Sk,D], bias [Sq,Sk] → softmax probs [Sq,Sk]."""
+def _rows_per_program(B, Sq, Sk, E) -> int:
+    """Largest divisor of B whose per-program VMEM working set fits a
+    conservative budget. One row needs q/k/v/o ([S,E]) plus the
+    [Sq,Sk] probs/mask intermediates; double-buffered pipelining means
+    ~2x blocks resident. PALLAS_ROWS_PER_PROGRAM=N overrides."""
+    import os
+
+    forced = os.environ.get("PALLAS_ROWS_PER_PROGRAM")
+    if forced:
+        return max(1, min(int(forced), B))
+    per_row = 4 * (2 * Sq * E + 2 * Sk * E + 4 * Sq * Sk)
+    cap = 6 * 2 ** 20
+    best = 1
+    for bb in range(1, min(B, 16) + 1):
+        if B % bb == 0 and bb * per_row <= cap:
+            best = bb
+    return best
+
+
+def _probs_heads(qh, kh, bias, scale):
+    """qh [Bb,Sq,D], kh [Bb,Sk,D], bias [Bb,Sq,Sk] → probs [Bb,Sq,Sk].
+    Batched dot with the batch dim at position 0 (Mosaic requirement)."""
     scores = jax.lax.dot_general(
-        qh, kh, (((1,), (1,)), ((), ())),
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale + bias
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -77,24 +108,26 @@ def _fwd_kernel(seed_ref, rate_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     H = n_heads
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    Sq, E = q.shape
+    q, k, v = q_ref[:], k_ref[:], v_ref[:]      # [Bb, S, E]
+    Bb, Sq, E = q.shape
     D = E // H
-    bias = bias_ref[0]
+    bias = bias_ref[:]
     if use_dropout:
         pltpu.prng_seed(seed_ref[pl.program_id(0)])
         rate = rate_ref[0]
         inv = 1.0 / jnp.maximum(1.0 - rate, 1e-6)
-    # Static unroll over heads; each head is small VMEM-resident algebra.
+    # Static unroll over heads; every head's dot carries all Bb rows.
     for h in range(H):
-        probs = _probs_one_head(_head_slice(q, h, D),
-                                _head_slice(k, h, D), bias, scale)
+        probs = _probs_heads(_head_slice(q, h, D),
+                             _head_slice(k, h, D), bias, scale)
         if use_dropout:
             keep = _keep_mask(probs.shape, rate)
             probs = jnp.where(keep, probs * inv, 0.0)
-        out_h = jnp.dot(probs.astype(v.dtype), _head_slice(v, h, D),
-                        preferred_element_type=jnp.float32)
-        o_ref[0, :, h * D:(h + 1) * D] = out_h.astype(o_ref.dtype)
+        out_h = jax.lax.dot_general(  # [Bb,Sq,Sk]·[Bb,Sk,D] → [Bb,Sq,D]
+            probs.astype(v.dtype), _head_slice(v, h, D),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, h * D:(h + 1) * D] = out_h.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, rate_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
@@ -103,24 +136,24 @@ def _bwd_kernel(seed_ref, rate_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     H = n_heads
-    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    Sq, E = q.shape
+    q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]
+    Bb, Sq, E = q.shape
     D = E // H
-    bias = bias_ref[0]
+    bias = bias_ref[:]
     if use_dropout:
         pltpu.prng_seed(seed_ref[pl.program_id(0)])
         rate = rate_ref[0]
         inv = 1.0 / jnp.maximum(1.0 - rate, 1e-6)
     # IMPORTANT: dropout bits must replay the forward's order — one
-    # _keep_mask call per head, heads ascending, same seed.
+    # _keep_mask call per head, heads ascending, same seed, same shape.
     for h in range(H):
         qh = _head_slice(q, h, D)
         kh = _head_slice(k, h, D)
         vh = _head_slice(v, h, D).astype(jnp.float32)
         doh = _head_slice(do, h, D).astype(jnp.float32)
-        probs = _probs_one_head(qh, kh, bias, scale)  # [Sq,Sk]
-        dpd = jax.lax.dot_general(  # dO vᵀ → [Sq,Sk]
-            doh, vh, (((1,), (1,)), ((), ())),
+        probs = _probs_heads(qh, kh, bias, scale)     # [Bb,Sq,Sk]
+        dpd = jax.lax.dot_general(  # dO vᵀ → [Bb,Sq,Sk]
+            doh, vh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         if use_dropout:
             keep = _keep_mask(probs.shape, rate)
@@ -128,28 +161,28 @@ def _bwd_kernel(seed_ref, rate_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
             dp = jnp.where(keep, dpd * inv, 0.0)
         else:
             pd, dp = probs, dpd
-        dv_h = jax.lax.dot_general(  # Pdᵀ dO → [Sk,D]
-            pd, doh, (((0,), (0,)), ((), ())),
+        dv_h = jax.lax.dot_general(  # Pdᵀ dO → [Bb,Sk,D]
+            pd, doh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        dv_ref[0, :, h * D:(h + 1) * D] = dv_h.astype(dv_ref.dtype)
+        dv_ref[:, :, h * D:(h + 1) * D] = dv_h.astype(dv_ref.dtype)
         ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-        dq_h = jax.lax.dot_general(  # dS k → [Sq,D]
-            ds, kh.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        dq_h = jax.lax.dot_general(  # dS k → [Bb,Sq,D]
+            ds, kh.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
-        dq_ref[0, :, h * D:(h + 1) * D] = dq_h.astype(dq_ref.dtype)
-        dk_h = jax.lax.dot_general(  # dSᵀ q → [Sk,D]
-            ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        dq_ref[:, :, h * D:(h + 1) * D] = dq_h.astype(dq_ref.dtype)
+        dk_h = jax.lax.dot_general(  # dSᵀ q → [Bb,Sk,D]
+            ds, qh.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
-        dk_ref[0, :, h * D:(h + 1) * D] = dk_h.astype(dk_ref.dtype)
+        dk_ref[:, :, h * D:(h + 1) * D] = dk_h.astype(dk_ref.dtype)
 
 
-def _grid_spec(B, Sq, Sk, E, n_out):
+def _grid_spec(B, Sq, Sk, E, n_out, bb):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q_spec = pl.BlockSpec((1, Sq, E), lambda i, *_: (i, 0, 0))
-    k_spec = pl.BlockSpec((1, Sk, E), lambda i, *_: (i, 0, 0))
-    bias_spec = pl.BlockSpec((1, Sq, Sk), lambda i, *_: (i, 0, 0))
+    q_spec = pl.BlockSpec((bb, Sq, E), lambda i, *_: (i, 0, 0))
+    k_spec = pl.BlockSpec((bb, Sk, E), lambda i, *_: (i, 0, 0))
+    bias_spec = pl.BlockSpec((bb, Sq, Sk), lambda i, *_: (i, 0, 0))
     in_specs = [q_spec, k_spec, k_spec, bias_spec]
     if n_out == 1:
         out_specs = q_spec
@@ -157,7 +190,7 @@ def _grid_spec(B, Sq, Sk, E, n_out):
         out_specs = [q_spec, k_spec, k_spec]
         in_specs.append(q_spec)  # the incoming cotangent dO
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(B,),
+        num_scalar_prefetch=2, grid=(B // bb,),
         in_specs=in_specs, out_specs=out_specs)
 
 
@@ -167,11 +200,12 @@ def _fwd_impl(q, k, v, bias, seeds, rate, use_dropout, n_heads):
     B, Sq, E = q.shape
     Sk = k.shape[1]
     scale = 1.0 / ((E // n_heads) ** 0.5)
+    bb = _rows_per_program(B, Sq, Sk, E)
     kernel = functools.partial(_fwd_kernel, scale=scale,
                                use_dropout=use_dropout, n_heads=n_heads)
     return pl.pallas_call(
         kernel,
-        grid_spec=_grid_spec(B, Sq, Sk, E, n_out=1),
+        grid_spec=_grid_spec(B, Sq, Sk, E, n_out=1, bb=bb),
         out_shape=jax.ShapeDtypeStruct((B, Sq, E), q.dtype),
         interpret=_needs_interpret(),
     )(seeds, rate, q, k, v, bias)
@@ -183,11 +217,12 @@ def _bwd_impl(q, k, v, bias, seeds, rate, do, use_dropout, n_heads):
     B, Sq, E = q.shape
     Sk = k.shape[1]
     scale = 1.0 / ((E // n_heads) ** 0.5)
+    bb = _rows_per_program(B, Sq, Sk, E)
     kernel = functools.partial(_bwd_kernel, scale=scale,
                                use_dropout=use_dropout, n_heads=n_heads)
     return pl.pallas_call(
         kernel,
-        grid_spec=_grid_spec(B, Sq, Sk, E, n_out=3),
+        grid_spec=_grid_spec(B, Sq, Sk, E, n_out=3, bb=bb),
         out_shape=[jax.ShapeDtypeStruct((B, Sq, E), q.dtype),
                    jax.ShapeDtypeStruct((B, Sk, E), k.dtype),
                    jax.ShapeDtypeStruct((B, Sk, E), v.dtype)],
