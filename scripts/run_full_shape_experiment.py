@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--train-args", default="{}",
                     help='train_args JSON, e.g. '
                          '\'{"length_bucketing": true}\'')
+    ap.add_argument("--max-population", type=int, default=32)
     args = ap.parse_args()
     compat = json.loads(args.compat)
     train_args = json.loads(args.train_args)
@@ -93,7 +94,7 @@ def main():
             "use_native": True,
         },
         "workdir": str(workdir),
-        "mesh_args": {"max_population": 32},
+        "mesh_args": {"max_population": args.max_population},
         "precision_args": {},
         "compat_args": compat,
         "train_args": train_args,

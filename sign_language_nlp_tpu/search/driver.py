@@ -33,6 +33,7 @@ aggregate wall-clock is exact, per-cell values are estimates.
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -57,6 +58,36 @@ _HBM_BUDGET_FALLBACK = 9e9
 _HBM_BUDGET_FALLBACK_MEASURED = 13e9
 
 
+def _clear_caches_between_chunks() -> bool:
+    """Whether the grid driver drops in-process executables between
+    population chunks. Default: only on the axon remote-TPU backend,
+    where re-dispatching a previous fit's epoch executable wedges the
+    tunnel (see the call site). Override with
+    SLNLP_CLEAR_CACHES_PER_CHUNK=1/0."""
+    env = os.environ.get("SLNLP_CLEAR_CACHES_PER_CHUNK")
+    if env is not None:
+        return env not in ("0", "", "false")
+    # The axon plugin registers its platform as plain "tpu"
+    # (jax.default_backend() == "tpu"); detect the tunnel by its env
+    # markers instead.
+    return ("axon" in os.environ.get("JAX_PLATFORMS", "")
+            or bool(os.environ.get("PALLAS_AXON_REMOTE_COMPILE")))
+
+
+def _delete_device_tree(tree) -> None:
+    """Eagerly free every jax array buffer in a pytree (no-op for host
+    arrays and already-deleted/donated leaves)."""
+    import jax
+
+    for leaf in jax.tree.leaves(tree):
+        delete = getattr(leaf, "delete", None)
+        if callable(delete):
+            try:
+                delete()
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
+
+
 def hbm_budget_bytes(measured: bool = False) -> float:
     """Per-device HBM budget for one population: the device's reported
     limit with a 12% runtime-overhead margin, or a fallback when the
@@ -77,14 +108,23 @@ def hbm_budget_bytes(measured: bool = False) -> float:
 
 
 def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
-                        seq_len: int, batch: int, remat: bool) -> float:
-    """Static f32 HBM accounting for one grid cell's train step: 4x
-    params (params + momentum + best-checkpoint + grads) plus the
-    transformer's live activations — dominated by the O(B·H·S²·layers)
-    attention tensors unless remat drops them. This is only the FIRST
-    GUESS for the population planner; the authoritative number comes
-    from XLA's memory_analysis() on the compiled epoch program
-    (PopulationTrainer.epoch_memory_bytes)."""
+                        seq_len: int, batch: int, remat: bool,
+                        n_train_batches: int = 1) -> float:
+    """Empirical f32 HBM ceiling for one grid cell's train epoch: 4x
+    params (params + momentum + best-checkpoint + grads), one batch's
+    live forward+backward working set, plus a per-train-batch term
+    (≈ 2·B·S·E + B·H·S² per layer per batch) calibrated against the
+    observed failure boundary of the epoch program on the axon v5e
+    tunnel. The epoch scan is NOT differentiated through (grads are
+    taken per batch inside the body), so the last term is not real
+    activation stacking — but programs sized without it fail: on the
+    full-shape E2E (emb128/L2/H4/B50/S120, 31 batches ⇒ ~1.2 GB/cell
+    by this model) populations of 10-11 cells run and 20 dies with an
+    execution-time INTERNAL, while XLA's own memory_analysis() claims
+    224 MB/cell (DESIGN.md §7). Until the tunnel reports honest
+    memory stats, this model is the sizing floor and measured bytes
+    the other bound (the planner takes the max). With remat the
+    per-batch term drops to the iteration inputs."""
     E = int(model_args.get("embedding_size") or 256)
     F = int(model_args.get("hidden_size") or E)
     L = int(model_args.get("num_layers") or 2)
@@ -95,7 +135,13 @@ def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
         + E * tgt_vocab
     act = batch * seq_len * E * L * (3 if remat else 12)
     scores = batch * H * seq_len * seq_len * L * (1 if remat else 3)
-    return 4.0 * (params * 4) + (act + scores) * 4
+    if remat:
+        saved_iter = batch * seq_len * 8.0  # token/idx inputs only
+    else:
+        saved_iter = (2.0 * batch * seq_len * E * L
+                      + batch * H * seq_len * seq_len * L) * 4.0
+    return (4.0 * (params * 4) + (act + scores) * 4
+            + saved_iter * max(int(n_train_batches) - 1, 0))
 
 
 @dataclass
@@ -337,12 +383,20 @@ class GridSearchDriver:
                                     pad_to=pad_to, pad_rows_to=pad_rows_to)
                 except Exception as e:  # noqa: BLE001 — OOM backoff
                     msg = str(e)
-                    # Match explicit OOM signals only; anything else
-                    # (e.g. bare INTERNAL compiler errors) must surface,
-                    # not silently degrade throughput via retries.
+                    # Match explicit OOM signals, plus EXECUTION-time
+                    # "INTERNAL: TPU backend error": the axon tunnel
+                    # reports HBM exhaustion that way (measured: the
+                    # same chunk at half the population runs clean).
+                    # Compile-time INTERNAL errors still surface — only
+                    # JaxRuntimeError from a dispatched program retries,
+                    # and the full traceback is logged first.
+                    import jax.errors as jerr
+
                     oomish = ("RESOURCE_EXHAUSTED" in msg
                               or "out of memory" in msg.lower()
-                              or "allocat" in msg.lower())
+                              or "allocat" in msg.lower()
+                              or (isinstance(e, jerr.JaxRuntimeError)
+                                  and "INTERNAL" in msg))
                     if pop > 1 and oomish:
                         import traceback
 
@@ -356,6 +410,23 @@ class GridSearchDriver:
                         continue
                     raise
                 start += len(chunk)
+                if start < len(pending) and _clear_caches_between_chunks():
+                    # Re-dispatching the previous chunk's epoch
+                    # executable for a new fit wedges the axon TPU
+                    # tunnel into a permanent "INTERNAL: TPU backend
+                    # error" state (measured: chunk 2 of a uniform-
+                    # geometry grid dies at its first sync; the same
+                    # cells run clean in a fresh process, and clearing
+                    # executables between chunks fixes it at ~2s/chunk —
+                    # the persistent compile cache makes the reload
+                    # cheap). Default ON for the axon backend only.
+                    trainer._epoch_fn_cache.clear()
+                    trainer._init_fn_cache.clear()
+                    trainer._predict_fn_cache.clear()
+                    import jax as _jax
+
+                    _jax.clear_caches()
+                    log("  cleared executable caches before next chunk")
                 if shard_pid is None:
                     self._flush_manifest(phase, manifest)
                 else:
@@ -408,6 +479,7 @@ class GridSearchDriver:
         static_budget = hbm_budget_bytes(measured=False)
         d = self.mesh.devices.size if self.mesh is not None else 1
         base = float(n_corpus * seq_len + 2 * n_corpus) * 4.0
+        probe_disabled = bool(os.environ.get("SLNLP_DISABLE_MEMORY_PROBE"))
 
         def layout(pop):
             """Even chunks → (pop, program population)."""
@@ -428,25 +500,46 @@ class GridSearchDriver:
             # Some backends compile but report zero/garbage stats:
             return m if (m is not None and m > base) else None
 
+        bsz = max(int(trainer.config.batch_size), 1)
+        if pad_rows_to and isinstance(pad_rows_to[0], (tuple, list)):
+            n_tb = sum(-(-int(tr) // bsz) for tr, _ in pad_rows_to)
+        elif pad_rows_to:
+            n_tb = -(-int(pad_rows_to[0]) // bsz)
+        else:
+            n_tb = max(n_corpus // bsz, 1)
         static_cell = estimate_cell_bytes(
             margs, self.src_vocab_size, self.tgt_vocab_size, seq_len,
-            trainer.config.batch_size, trainer.config.remat)
+            bsz, trainer.config.remat, n_train_batches=n_tb)
         pop, pad_to = layout(int(static_budget // max(static_cell, 1.0)))
 
         for attempt in range(3):
-            measured = probe(pad_to)
+            measured = None if probe_disabled else probe(pad_to)
             if measured is None:
+                # The static model now carries the scan-saved activation
+                # term explicitly, so no extra safety factor on top —
+                # just the more conservative static budget.
                 pop, pad_to = layout(
-                    int(static_budget // max(static_cell * 2.5, 1.0)))
+                    int(static_budget // max(static_cell, 1.0)))
                 if self.verbose and pop < n_pending:
-                    log(f"  population capped at {pop} (static estimate; "
+                    log(f"  population capped at {pop} "
+                        f"({static_cell / 1e6:.0f} MB/cell modeled; "
                         f"no memory stats)")
                 return pop, pad_to
-            per_cell = max((measured - base) / pad_to, 1.0)
+            # Programs the axon tunnel accepts by memory_analysis()
+            # numbers still die at execution (224 MB/cell reported; the
+            # P=20 chunk failed with a permanent INTERNAL wedge while
+            # P<=11 runs clean). Treat measured bytes as a LOWER bound
+            # and the calibrated static model as the other bound; the
+            # wider measured budget still beats the pure-static path.
+            meas_cell = max((measured - base) / pad_to, 1.0)
+            per_cell = max(meas_cell, float(static_cell))
             target = int((budget - base) // per_cell)
             if target < 1:
                 if not trainer.config.remat:
                     trainer.set_remat(True)
+                    static_cell = estimate_cell_bytes(
+                        margs, self.src_vocab_size, self.tgt_vocab_size,
+                        seq_len, bsz, True, n_train_batches=n_tb)
                     if self.verbose:
                         log("  remat enabled for this shape group (one "
                             f"cell measures {per_cell / 1e6:.0f} MB)")
@@ -458,7 +551,8 @@ class GridSearchDriver:
             if new_pad == pad_to or attempt == 2:
                 if self.verbose:
                     log(f"  population {new_pop} (program {new_pad} "
-                        f"slots, {per_cell / 1e6:.0f} MB/cell measured, "
+                        f"slots, {meas_cell / 1e6:.0f} MB/cell measured / "
+                        f"{static_cell / 1e6:.0f} MB modeled, "
                         f"budget {budget / 1e9:.1f} GB)")
                 return new_pop, new_pad
             pop, pad_to = new_pop, new_pad
@@ -511,9 +605,17 @@ class GridSearchDriver:
 
         t0 = time.time()
         test_rows = [folds[fi][1] for _, fi in chunk]
-        log_probs, w = trainer.predict_log_probs(out["params"], data,
-                                                 test_rows)
+        log_probs_dev, w_dev = trainer.predict_log_probs(
+            out["params"], data, test_rows)
+        log_probs, w = np.asarray(log_probs_dev), np.asarray(w_dev)
         score_wall = time.time() - t0
+        # Release this chunk's device state eagerly: the next chunk
+        # reuses the same compiled program, and letting GC race the next
+        # fit's allocations has produced device OOMs (surfaced as
+        # INTERNAL through the axon tunnel) that per-chunk measured
+        # sizing says should fit.
+        _delete_device_tree((out, log_probs_dev, w_dev))
+        del out, log_probs_dev, w_dev
         for k, (ci, fi) in enumerate(chunk[:n_real]):
             m = int(w[k].sum())
             s = scoring(np.asarray(log_probs[k][:m]),

@@ -49,6 +49,7 @@ is unchanged (see tests/test_bucketing.py for the bit-exact case).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -691,6 +692,18 @@ class PopulationTrainer:
         rate = self._shard_population(jnp.asarray(task.dropout, jnp.float32))
 
         epoch_fn = self._get_epoch_fn(geom)
+
+        if os.environ.get("SLNLP_FIT_SYNC"):
+            # Debug mode: force a sync after each setup stage so an
+            # async INTERNAL backend error is attributed to the program
+            # that actually raised it (default: errors surface at the
+            # first record materialization, hiding the culprit).
+            jax.block_until_ready(data_dev)
+            log("  [fit-sync] corpus upload OK")
+            jax.block_until_ready((params, opt_state, best_params))
+            log("  [fit-sync] population init OK")
+            jax.block_until_ready((train_idx, train_w, valid_idx, valid_w))
+            log("  [fit-sync] index upload OK")
 
         # --- epoch loop (with optional population compaction) ----------
         # `orig_of[slot]` maps a device slot to its original cell index;

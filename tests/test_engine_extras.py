@@ -45,6 +45,29 @@ def test_estimate_cell_bytes_scaling():
     assert estimate_cell_bytes(base, 100000, 100, 64, 50, False) > b0
 
 
+def test_estimate_cell_bytes_scan_saved_residuals():
+    """The per-train-batch term is calibrated to the axon tunnel's
+    observed failure boundary (P=20 epoch programs die, P<=11 run —
+    DESIGN.md §7): the estimate must grow ~linearly in n_train_batches
+    without remat, and must not with remat."""
+    base = dict(embedding_size=128, hidden_size=128, num_layers=2,
+                num_heads=4)
+    b1 = estimate_cell_bytes(base, 600, 100, 120, 50, remat=False,
+                             n_train_batches=1)
+    b31 = estimate_cell_bytes(base, 600, 100, 120, 50, remat=False,
+                              n_train_batches=31)
+    assert b31 > 3 * b1
+    # Calibration anchor (measured on the 15.75 GB v5e): ~10-11 such
+    # cells fit, 20 OOM — the per-cell estimate must land between.
+    assert 15.75e9 / 20 < b31 < 13e9 / 9
+    # Remat caps the saved-residual term at the tiny per-batch inputs:
+    r1 = estimate_cell_bytes(base, 600, 100, 120, 50, remat=True,
+                             n_train_batches=1)
+    r31 = estimate_cell_bytes(base, 600, 100, 120, 50, remat=True,
+                              n_train_batches=31)
+    assert r31 < r1 * 1.05
+
+
 def test_mode_train_pipeline(asl_corpus_dir, tmp_path):
     from sign_language_nlp_tpu.pipeline import run
     from tests.conftest import FIELDS
