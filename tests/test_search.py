@@ -176,3 +176,64 @@ def test_population_planner_uses_measured_bytes():
     assert pad_to >= pop
     # Even chunking: number of chunks is minimal for this pop.
     assert -(-12 // pop) == -(-12 // min(8, max(pop, 1)))
+
+
+def test_oom_backoff_retries_execution_internal(built_dataset):
+    """Execution-time "INTERNAL: TPU backend error" (how the axon
+    tunnel reports HBM exhaustion — DESIGN.md §7) must halve the
+    population and retry; a non-runtime INTERNAL (e.g. a compiler
+    error) must surface unchanged."""
+    import jax
+    from sign_language_nlp_tpu.search import (GridSearchDriver, ParamGrid,
+                                              ScoringWrapper)
+    from sign_language_nlp_tpu.training.engine import TrainConfig
+
+    ds = built_dataset
+    data = (ds.tokens, ds.lengths, ds.labels_idx)
+    scorer = ScoringWrapper("accuracy", labels=ds.labels())
+
+    def make_driver():
+        return GridSearchDriver(
+            model_name="model.EncoderDecoderGRUAttn",
+            src_vocab_size=len(ds.src_vocab),
+            tgt_vocab_size=len(ds.tgt_vocab),
+            src_pad_idx=1, tgt_pad_idx=1,
+            base_model_args={"embedding_size": 8, "hidden_size": 8,
+                             "num_layers": 1, "dropout": 0.0},
+            train_config=TrainConfig(batch_size=16, max_epochs=2, seed=0,
+                                     verbose=0, scoring=("accuracy",)),
+            cv=2, max_population=4, verbose=0)
+
+    driver = make_driver()
+    real_run_chunk = GridSearchDriver._run_chunk
+    seen_pops = []
+
+    def flaky_run_chunk(self, chunk, *a, **kw):
+        seen_pops.append(len(chunk))
+        if len(seen_pops) == 1:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: TPU backend error (Internal).")
+        return real_run_chunk(self, chunk, *a, **kw)
+
+    GridSearchDriver._run_chunk = flaky_run_chunk
+    try:
+        result = driver.search(data, ds.labels_idx,
+                               ParamGrid({"lr": [0.3, 0.01]}), scorer)
+    finally:
+        GridSearchDriver._run_chunk = real_run_chunk
+    assert result.n_candidates == 2
+    # First attempt at the planned pop, retry at half:
+    assert len(seen_pops) >= 2 and seen_pops[1] <= max(1, seen_pops[0] // 2)
+    assert np.isfinite(result.cv_results["mean_test_score"]).all()
+
+    # Non-runtime INTERNAL errors are NOT retried:
+    def broken_run_chunk(self, chunk, *a, **kw):
+        raise RuntimeError("INTERNAL: something else entirely")
+
+    GridSearchDriver._run_chunk = broken_run_chunk
+    try:
+        with pytest.raises(RuntimeError, match="something else"):
+            make_driver().search(data, ds.labels_idx,
+                                 ParamGrid({"lr": [0.3]}), scorer)
+    finally:
+        GridSearchDriver._run_chunk = real_run_chunk
