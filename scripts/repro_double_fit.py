@@ -84,6 +84,10 @@ def live_mb():
 out1 = trainer.fit(data, make_task(0))
 print(f"fit 1 OK (live {live_mb():.0f} MB)", file=sys.stderr)
 
+if os.environ.get("REPRO_SINGLE", "0") == "1":
+    print("SINGLE FIT PASSED")
+    sys.exit(0)
+
 if os.environ.get("REPRO_PREDICT", "1") == "1":
     lp, w = trainer.predict_log_probs(out1["params"], data,
                                       [np.arange(16)] * P)
