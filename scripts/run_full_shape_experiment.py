@@ -43,9 +43,13 @@ def main():
                     help='train_args JSON, e.g. '
                          '\'{"length_bucketing": true}\'')
     ap.add_argument("--max-population", type=int, default=32)
+    ap.add_argument("--corpus", default=str(CORPUS),
+                    help="corpus directory (e.g. work/synth-corpus-"
+                         "longtail for ragged-length runs)")
     args = ap.parse_args()
     compat = json.loads(args.compat)
     train_args = json.loads(args.train_args)
+    corpus = Path(args.corpus)
 
     # Per-model (and per-quirk-set) workdir so manifests don't
     # cross-resume between configurations:
@@ -54,7 +58,9 @@ def main():
                     *[f"{k}={v}" for k, v in sorted(train_args.items())]])
     workdir = Path(f"work/full-shape-exp-{tag}")
 
-    if not CORPUS.exists():
+    if not corpus.exists():
+        if corpus != CORPUS:
+            raise SystemExit(f"corpus dir {corpus} does not exist")
         from scripts.make_synth_corpus import make_corpus
 
         make_corpus(str(CORPUS), args.classes, args.samples, seed=1)
@@ -86,7 +92,7 @@ def main():
         "optimizer_args": {"nesterov": False, "momentum": 0.9},
         "grid_args": GRIDS[args.grid],
         "dataset_args": {
-            "dataset_dir": str(CORPUS),
+            "dataset_dir": str(corpus),
             "fields": ["orientation_dh", "orientation_ndh", "movement_dh",
                        "movement_ndh", "handshape_dh", "handshape_ndh"],
             "samples_min_freq": 2, "composition_strategy": "as_words",

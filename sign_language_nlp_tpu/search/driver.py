@@ -109,7 +109,7 @@ def hbm_budget_bytes(measured: bool = False) -> float:
 
 def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
                         seq_len: int, batch: int, remat: bool,
-                        n_train_batches: int = 1) -> float:
+                        n_train_batches: float = 1) -> float:
     """Empirical f32 HBM ceiling for one grid cell's train epoch: 4x
     params (params + momentum + best-checkpoint + grads), one batch's
     live forward+backward working set, plus a per-train-batch term
@@ -141,7 +141,7 @@ def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
         saved_iter = (2.0 * batch * seq_len * E * L
                       + batch * H * seq_len * seq_len * L) * 4.0
     return (4.0 * (params * 4) + (act + scores) * 4
-            + saved_iter * max(int(n_train_batches) - 1, 0))
+            + saved_iter * max(float(n_train_batches) - 1.0, 0.0))
 
 
 @dataclass
@@ -502,7 +502,14 @@ class GridSearchDriver:
 
         bsz = max(int(trainer.config.batch_size), 1)
         if pad_rows_to and isinstance(pad_rows_to[0], (tuple, list)):
-            n_tb = sum(-(-int(tr) // bsz) for tr, _ in pad_rows_to)
+            # Per-bucket floors: weight each bucket's batch count by its
+            # sequence fraction — the dominant per-batch cost terms are
+            # ~linear in S, and the short bucket exists precisely to
+            # stop paying S_max there.
+            seq_lens = ((bucket_seq, seq_len) if bucket_seq is not None
+                        else (seq_len,) * len(pad_rows_to))
+            n_tb = sum((-(-int(tr) // bsz)) * (int(s) / int(seq_len))
+                       for (tr, _), s in zip(pad_rows_to, seq_lens))
         elif pad_rows_to:
             n_tb = -(-int(pad_rows_to[0]) // bsz)
         else:
