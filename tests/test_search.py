@@ -237,3 +237,26 @@ def test_oom_backoff_retries_execution_internal(built_dataset):
                                  ParamGrid({"lr": [0.3]}), scorer)
     finally:
         GridSearchDriver._run_chunk = real_run_chunk
+
+
+def test_clear_caches_between_chunks_detection(monkeypatch):
+    """Defaults ON only for the axon tunnel (detected via env markers —
+    the plugin registers its platform as plain "tpu"); explicit env
+    always wins."""
+    from sign_language_nlp_tpu.search.driver import (
+        _clear_caches_between_chunks)
+
+    monkeypatch.delenv("SLNLP_CLEAR_CACHES_PER_CHUNK", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
+    assert _clear_caches_between_chunks()
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert not _clear_caches_between_chunks()
+    monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+    assert _clear_caches_between_chunks()
+    monkeypatch.setenv("SLNLP_CLEAR_CACHES_PER_CHUNK", "0")
+    assert not _clear_caches_between_chunks()
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
+    monkeypatch.setenv("SLNLP_CLEAR_CACHES_PER_CHUNK", "1")
+    assert _clear_caches_between_chunks()
