@@ -408,6 +408,19 @@ class GridSearchDriver:
                         log(f"  chunk failed ({msg[:80]}...); retrying "
                             f"with population {pop}")
                         continue
+                    if oomish and "INTERNAL" in msg:
+                        # A wedged axon session fails every retry
+                        # instantly (DESIGN.md §7) — the manifest holds
+                        # all finished cells, so a fresh process picks
+                        # up exactly where this one died.
+                        done = sum(1 for c in cells
+                                   if cell_key(*c) in manifest)
+                        raise RuntimeError(
+                            f"TPU session wedged (INTERNAL persists at "
+                            f"population 1). {done}/{len(cells)} grid "
+                            f"cells are saved in the manifest — rerun "
+                            f"the same command to resume from there."
+                        ) from e
                     raise
                 start += len(chunk)
                 if start < len(pending) and _clear_caches_between_chunks():

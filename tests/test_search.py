@@ -260,3 +260,37 @@ def test_clear_caches_between_chunks_detection(monkeypatch):
     monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
     monkeypatch.setenv("SLNLP_CLEAR_CACHES_PER_CHUNK", "1")
     assert _clear_caches_between_chunks()
+
+
+def test_wedged_session_raises_actionable_error(built_dataset):
+    """When INTERNAL persists down to population 1 (a wedged axon
+    session), the driver must surface a resume-instructions error, not
+    the raw backend message."""
+    import jax
+    from sign_language_nlp_tpu.search import (GridSearchDriver, ParamGrid,
+                                              ScoringWrapper)
+    from sign_language_nlp_tpu.training.engine import TrainConfig
+
+    ds = built_dataset
+    data = (ds.tokens, ds.lengths, ds.labels_idx)
+    scorer = ScoringWrapper("accuracy", labels=ds.labels())
+    driver = GridSearchDriver(
+        model_name="model.EncoderDecoderGRUAttn",
+        src_vocab_size=len(ds.src_vocab), tgt_vocab_size=len(ds.tgt_vocab),
+        src_pad_idx=1, tgt_pad_idx=1,
+        base_model_args={"embedding_size": 8, "hidden_size": 8,
+                         "num_layers": 1, "dropout": 0.0},
+        train_config=TrainConfig(batch_size=16, max_epochs=1, seed=0,
+                                 verbose=0, scoring=("accuracy",)),
+        cv=2, max_population=4, verbose=0)
+
+    real = GridSearchDriver._run_chunk
+    GridSearchDriver._run_chunk = lambda self, *a, **kw: (_ for _ in ()
+        ).throw(jax.errors.JaxRuntimeError(
+            "INTERNAL: TPU backend error (Internal)."))
+    try:
+        with pytest.raises(RuntimeError, match="wedged.*resume"):
+            driver.search(data, ds.labels_idx, ParamGrid({"lr": [0.3]}),
+                          scorer)
+    finally:
+        GridSearchDriver._run_chunk = real
