@@ -96,9 +96,9 @@ if os.environ.get("REPRO_PREDICT", "1") == "1":
     del lp, w
 
 if os.environ.get("REPRO_DELETE", "0") == "1":
-    for leaf in jax.tree.leaves(out1):
-        if hasattr(leaf, "delete"):
-            leaf.delete()
+    from sign_language_nlp_tpu.search.driver import _delete_device_tree
+
+    _delete_device_tree(out1)
 del out1
 print(f"before fit 2: live {live_mb():.0f} MB "
       f"({len(jax.live_arrays())} arrays)", file=sys.stderr)

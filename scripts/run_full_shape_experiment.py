@@ -51,9 +51,10 @@ def main():
     train_args = json.loads(args.train_args)
     corpus = Path(args.corpus)
 
-    # Per-model (and per-quirk-set) workdir so manifests don't
-    # cross-resume between configurations:
+    # Per-model (and per-quirk-set, per-corpus) workdir so manifests
+    # don't cross-resume between configurations:
     tag = "-".join([args.model.split(".")[-1],
+                    *([corpus.name] if corpus != CORPUS else []),
                     *[f"{k}={v}" for k, v in sorted(compat.items())],
                     *[f"{k}={v}" for k, v in sorted(train_args.items())]])
     workdir = Path(f"work/full-shape-exp-{tag}")

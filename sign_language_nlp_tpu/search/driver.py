@@ -66,7 +66,7 @@ def _clear_caches_between_chunks() -> bool:
     SLNLP_CLEAR_CACHES_PER_CHUNK=1/0."""
     env = os.environ.get("SLNLP_CLEAR_CACHES_PER_CHUNK")
     if env is not None:
-        return env not in ("0", "", "false")
+        return env.strip().lower() not in ("0", "", "false", "no", "off")
     # The axon plugin registers its platform as plain "tpu"
     # (jax.default_backend() == "tpu"); detect the tunnel by its env
     # markers instead.
@@ -374,6 +374,7 @@ class GridSearchDriver:
                 len(pending), pad_rows_to, bucket_seq=bucket_seq)
 
             start = 0
+            retried = False
             while start < len(pending):
                 chunk = pending[start:start + pop]
                 try:
@@ -383,24 +384,25 @@ class GridSearchDriver:
                                     pad_to=pad_to, pad_rows_to=pad_rows_to)
                 except Exception as e:  # noqa: BLE001 — OOM backoff
                     msg = str(e)
-                    # Match explicit OOM signals, plus EXECUTION-time
-                    # "INTERNAL: TPU backend error": the axon tunnel
-                    # reports HBM exhaustion that way (measured: the
-                    # same chunk at half the population runs clean).
-                    # Compile-time INTERNAL errors still surface — only
-                    # JaxRuntimeError from a dispatched program retries,
-                    # and the full traceback is logged first.
+                    # Match explicit OOM signals, plus the EXECUTION-time
+                    # "TPU backend error" the axon tunnel uses to report
+                    # HBM exhaustion (measured: the same chunk at half
+                    # the population runs clean). Other INTERNAL errors
+                    # (e.g. Mosaic/XLA compile failures, which raise the
+                    # same XlaRuntimeError class) must surface, not
+                    # retry — hence the narrow message match.
                     import jax.errors as jerr
 
                     oomish = ("RESOURCE_EXHAUSTED" in msg
                               or "out of memory" in msg.lower()
                               or "allocat" in msg.lower()
                               or (isinstance(e, jerr.JaxRuntimeError)
-                                  and "INTERNAL" in msg))
+                                  and "TPU backend error" in msg))
                     if pop > 1 and oomish:
                         import traceback
 
                         log(traceback.format_exc())
+                        retried = True
                         pop = max(1, pop // 2)
                         d = (self.mesh.devices.size
                              if self.mesh is not None else 1)
@@ -408,18 +410,21 @@ class GridSearchDriver:
                         log(f"  chunk failed ({msg[:80]}...); retrying "
                             f"with population {pop}")
                         continue
-                    if oomish and "INTERNAL" in msg:
-                        # A wedged axon session fails every retry
-                        # instantly (DESIGN.md §7) — the manifest holds
+                    if (retried and oomish
+                            and "TPU backend error" in msg):
+                        # Retries failed all the way down to population
+                        # 1 — a wedged axon session fails every dispatch
+                        # instantly (DESIGN.md §7). The manifest holds
                         # all finished cells, so a fresh process picks
                         # up exactly where this one died.
                         done = sum(1 for c in cells
                                    if cell_key(*c) in manifest)
                         raise RuntimeError(
-                            f"TPU session wedged (INTERNAL persists at "
-                            f"population 1). {done}/{len(cells)} grid "
-                            f"cells are saved in the manifest — rerun "
-                            f"the same command to resume from there."
+                            f"TPU session wedged (backend error persists "
+                            f"at population 1). {done}/{len(cells)} cells "
+                            f"of this shape group are saved in the "
+                            f"manifest — rerun the same command to "
+                            f"resume from there."
                         ) from e
                     raise
                 start += len(chunk)
@@ -433,9 +438,7 @@ class GridSearchDriver:
                     # executables between chunks fixes it at ~2s/chunk —
                     # the persistent compile cache makes the reload
                     # cheap). Default ON for the axon backend only.
-                    trainer._epoch_fn_cache.clear()
-                    trainer._init_fn_cache.clear()
-                    trainer._predict_fn_cache.clear()
+                    trainer.clear_executables()
                     import jax as _jax
 
                     _jax.clear_caches()
@@ -486,7 +489,7 @@ class GridSearchDriver:
         by the actual fit via the persistent cache). Returns
         (pop, pad_to): cells per chunk and the uniform program
         population every chunk pads to. Falls back to the static
-        estimate (with a 2.5x safety factor) when the backend reports no
+        estimate (with a 1.5x safety factor) when the backend reports no
         memory stats; the runtime OOM backoff remains the last net."""
         budget = hbm_budget_bytes(measured=True)
         static_budget = hbm_budget_bytes(measured=False)
@@ -535,11 +538,11 @@ class GridSearchDriver:
         for attempt in range(3):
             measured = None if probe_disabled else probe(pad_to)
             if measured is None:
-                # The static model now carries the scan-saved activation
-                # term explicitly, so no extra safety factor on top —
-                # just the more conservative static budget.
+                # The static model carries the per-batch term, but with
+                # no measured cross-check at all keep a 1.5x margin on
+                # top of the already-conservative static budget.
                 pop, pad_to = layout(
-                    int(static_budget // max(static_cell, 1.0)))
+                    int(static_budget // max(static_cell * 1.5, 1.0)))
                 if self.verbose and pop < n_pending:
                     log(f"  population capped at {pop} "
                         f"({static_cell / 1e6:.0f} MB/cell modeled; "

@@ -310,6 +310,16 @@ class PopulationTrainer:
         return init_fn(tokens, lengths, y, jnp.int32(seed),
                        jnp.asarray(seed_ids, jnp.int32))
 
+    def clear_executables(self) -> None:
+        """Drop every compiled-program cache this trainer holds (epoch,
+        init, predict). Callers that need fresh executable handles —
+        e.g. the grid driver's between-chunk hygiene on the axon tunnel
+        (search/driver.py) — use this instead of reaching into the
+        private cache dicts, so new caches stay covered."""
+        self._epoch_fn_cache.clear()
+        self._init_fn_cache.clear()
+        self._predict_fn_cache.clear()
+
     def set_remat(self, remat: bool) -> None:
         """Toggle rematerialization; drops compiled-program caches whose
         traces baked in the old setting."""
