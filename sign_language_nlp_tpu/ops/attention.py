@@ -48,9 +48,13 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # (XLA's contractions are MXU-starved there; the kernel also
         # skips the head split/merge copies). At D=128 XLA is already
         # MXU-aligned and wins — and the eval path is always XLA's.
+        # E must be lane-aligned (multiple of 128): at E=64 the HBM
+        # layout pads the last dim 64→128, ~2x inflating q/k/v/o and
+        # VJP residuals that neither the kernel's VMEM budget nor the
+        # driver's sizing model accounts for (ADVICE r2).
         backend = ("pallas"
                    if (not deterministic and dropout_rng is not None
-                       and head_dim < 128
+                       and head_dim < 128 and E % 128 == 0
                        and jax.default_backend() == "tpu")
                    else "xla")
 

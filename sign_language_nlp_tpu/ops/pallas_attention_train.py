@@ -81,7 +81,13 @@ def _rows_per_program(B, Sq, Sk, E) -> int:
 
     forced = os.environ.get("PALLAS_ROWS_PER_PROGRAM")
     if forced:
-        return max(1, min(int(forced), B))
+        # The grid is (B // bb,): a non-divisor bb would silently skip
+        # the last B % bb rows (their outputs/grads stay uninitialized).
+        # Snap the override down to the largest divisor of B <= forced.
+        bb = max(1, min(int(forced), B))
+        while B % bb != 0:
+            bb -= 1
+        return bb
     per_row = 4 * (2 * Sq * E + 2 * Sk * E + 4 * Sq * Sk)
     cap = 6 * 2 ** 20
     best = 1

@@ -374,7 +374,6 @@ class GridSearchDriver:
                 len(pending), pad_rows_to, bucket_seq=bucket_seq)
 
             start = 0
-            retried = False
             while start < len(pending):
                 chunk = pending[start:start + pop]
                 try:
@@ -402,7 +401,6 @@ class GridSearchDriver:
                         import traceback
 
                         log(traceback.format_exc())
-                        retried = True
                         pop = max(1, pop // 2)
                         d = (self.mesh.devices.size
                              if self.mesh is not None else 1)
@@ -410,13 +408,16 @@ class GridSearchDriver:
                         log(f"  chunk failed ({msg[:80]}...); retrying "
                             f"with population {pop}")
                         continue
-                    if (retried and oomish
-                            and "TPU backend error" in msg):
-                        # Retries failed all the way down to population
-                        # 1 — a wedged axon session fails every dispatch
-                        # instantly (DESIGN.md §7). The manifest holds
-                        # all finished cells, so a fresh process picks
-                        # up exactly where this one died.
+                    if oomish and "TPU backend error" in msg:
+                        # Population is already 1 (either retries halved
+                        # it down, or the planner started there) and the
+                        # backend error persists — a wedged axon session
+                        # fails every dispatch instantly (DESIGN.md §7).
+                        # The manifest holds all finished cells, so a
+                        # fresh process picks up exactly where this one
+                        # died. (`retried` is intentionally not required:
+                        # a group planned at population 1 wedges without
+                        # ever halving — ADVICE r2.)
                         done = sum(1 for c in cells
                                    if cell_key(*c) in manifest)
                         raise RuntimeError(
