@@ -37,6 +37,18 @@ _FAMILY_KEYS = {
 }
 
 
+def model_family(name: str) -> str:
+    """Sizing family of a registered model name: "transformer" |
+    "lstm" | "gru" (consumed by search.driver.estimate_cell_bytes —
+    each family has its own param/activation algebra)."""
+    cls = resolve_model(name)
+    if cls is EncoderDecoderLSTMAttn:
+        return "lstm"
+    if cls is EncoderDecoderGRUAttn:
+        return "gru"
+    return "transformer"
+
+
 def resolve_model(name: str):
     if name not in MODEL_REGISTRY:
         raise ValueError(f"Unknown model: '{name}' "

@@ -109,37 +109,66 @@ def hbm_budget_bytes(measured: bool = False) -> float:
 
 def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
                         seq_len: int, batch: int, remat: bool,
-                        n_train_batches: float = 1) -> float:
+                        n_train_batches: float = 1,
+                        family: str = "transformer") -> float:
     """Empirical f32 HBM ceiling for one grid cell's train epoch: 4x
     params (params + momentum + best-checkpoint + grads), one batch's
     live forward+backward working set, plus a per-train-batch term
-    (≈ 2·B·S·E + B·H·S² per layer per batch) calibrated against the
-    observed failure boundary of the epoch program on the axon v5e
-    tunnel. The epoch scan is NOT differentiated through (grads are
-    taken per batch inside the body), so the last term is not real
-    activation stacking — but programs sized without it fail: on the
-    full-shape E2E (emb128/L2/H4/B50/S120, 31 batches ⇒ ~1.2 GB/cell
-    by this model) populations of 10-11 cells run and 20 dies with an
-    execution-time INTERNAL, while XLA's own memory_analysis() claims
-    224 MB/cell (DESIGN.md §7). Until the tunnel reports honest
-    memory stats, this model is the sizing floor and measured bytes
-    the other bound (the planner takes the max). With remat the
-    per-batch term drops to the iteration inputs."""
+    calibrated against the observed failure boundary of the epoch
+    program on the axon v5e tunnel. The epoch scan is NOT
+    differentiated through (grads are taken per batch inside the
+    body), so the last term is not real activation stacking — but
+    programs sized without it fail: on the full-shape E2E
+    (emb128/L2/H4/B50/S120, 31 batches ⇒ ~1.2 GB/cell by this model)
+    populations of 10-11 cells run and 20 dies with an execution-time
+    INTERNAL, while XLA's own memory_analysis() claims 224 MB/cell
+    (DESIGN.md §7). Until the tunnel reports honest memory stats, this
+    model is the sizing floor and measured bytes the other bound (the
+    planner takes the max). With remat the per-batch term drops to the
+    iteration inputs.
+
+    `family` selects per-family algebra (VERDICT r2 weak #2 — the
+    transformer formula used to size every family):
+      * "transformer" — 4·E·E attention + 2·E·F mlp params per layer,
+        B·H·S² attention scores;
+      * "gru"/"lstm" (G = 3/4 gate matrices) — bidirectional G·(in·H +
+        H²) encoder layers + one-step decoder/attention params, and
+        B·S·H scan carries instead of S² scores (Bahdanau attends once
+        per fit, not per step — models/encoder_decoder.py)."""
     E = int(model_args.get("embedding_size") or 256)
     F = int(model_args.get("hidden_size") or E)
     L = int(model_args.get("num_layers") or 2)
     H = int(model_args.get("num_heads") or 1)
-    params = (src_vocab + tgt_vocab) * E \
-        + L * (4 * E * E + 2 * E * F) \
-        + L * (8 * E * E + 2 * E * F) \
-        + E * tgt_vocab
-    act = batch * seq_len * E * L * (3 if remat else 12)
-    scores = batch * H * seq_len * seq_len * L * (1 if remat else 3)
-    if remat:
-        saved_iter = batch * seq_len * 8.0  # token/idx inputs only
+    if family in ("gru", "lstm"):
+        G = 4 if family == "lstm" else 3
+        params = (src_vocab + tgt_vocab) * E \
+            + 2 * G * (E * F + F * F) \
+            + max(L - 1, 0) * 2 * G * (2 * F * F + F * F) \
+            + G * ((E + 2 * F) * F + F * F) \
+            + 5 * F * F + (E + 3 * F) * F \
+            + F * tgt_vocab
+        # Scan carries saved for backward: inputs + h + gate preacts
+        # per direction per layer (embeddings ride once).
+        act = (batch * seq_len * F * L * 2 * (2 if remat else G + 2)
+               + batch * seq_len * E)
+        scores = batch * seq_len * 2 * F   # Bahdanau keys/context, 1-step
+        if remat:
+            saved_iter = batch * seq_len * 8.0
+        else:
+            saved_iter = (batch * seq_len * F * L * 2 * (G + 1)
+                          + batch * seq_len * E) * 4.0
     else:
-        saved_iter = (2.0 * batch * seq_len * E * L
-                      + batch * H * seq_len * seq_len * L) * 4.0
+        params = (src_vocab + tgt_vocab) * E \
+            + L * (4 * E * E + 2 * E * F) \
+            + L * (8 * E * E + 2 * E * F) \
+            + E * tgt_vocab
+        act = batch * seq_len * E * L * (3 if remat else 12)
+        scores = batch * H * seq_len * seq_len * L * (1 if remat else 3)
+        if remat:
+            saved_iter = batch * seq_len * 8.0  # token/idx inputs only
+        else:
+            saved_iter = (2.0 * batch * seq_len * E * L
+                          + batch * H * seq_len * seq_len * L) * 4.0
     return (4.0 * (params * 4) + (act + scores) * 4
             + saved_iter * max(float(n_train_batches) - 1.0, 0.0))
 
@@ -517,6 +546,9 @@ class GridSearchDriver:
             # Some backends compile but report zero/garbage stats:
             return m if (m is not None and m > base) else None
 
+        from ..models.registry import model_family
+
+        fam = model_family(self.model_name)
         bsz = max(int(trainer.config.batch_size), 1)
         if pad_rows_to and isinstance(pad_rows_to[0], (tuple, list)):
             # Per-bucket floors: weight each bucket's batch count by its
@@ -533,7 +565,7 @@ class GridSearchDriver:
             n_tb = max(n_corpus // bsz, 1)
         static_cell = estimate_cell_bytes(
             margs, self.src_vocab_size, self.tgt_vocab_size, seq_len,
-            bsz, trainer.config.remat, n_train_batches=n_tb)
+            bsz, trainer.config.remat, n_train_batches=n_tb, family=fam)
         pop, pad_to = layout(int(static_budget // max(static_cell, 1.0)))
 
         for attempt in range(3):
@@ -546,8 +578,8 @@ class GridSearchDriver:
                     int(static_budget // max(static_cell * 1.5, 1.0)))
                 if self.verbose and pop < n_pending:
                     log(f"  population capped at {pop} "
-                        f"({static_cell / 1e6:.0f} MB/cell modeled; "
-                        f"no memory stats)")
+                        f"({static_cell / 1e6:.0f} MB/cell modeled, "
+                        f"{fam} algebra; no memory stats)")
                 return pop, pad_to
             # Programs the axon tunnel accepts by memory_analysis()
             # numbers still die at execution (224 MB/cell reported; the
@@ -563,7 +595,8 @@ class GridSearchDriver:
                     trainer.set_remat(True)
                     static_cell = estimate_cell_bytes(
                         margs, self.src_vocab_size, self.tgt_vocab_size,
-                        seq_len, bsz, True, n_train_batches=n_tb)
+                        seq_len, bsz, True, n_train_batches=n_tb,
+                        family=fam)
                     if self.verbose:
                         log("  remat enabled for this shape group (one "
                             f"cell measures {per_cell / 1e6:.0f} MB)")
@@ -576,7 +609,7 @@ class GridSearchDriver:
                 if self.verbose:
                     log(f"  population {new_pop} (program {new_pad} "
                         f"slots, {meas_cell / 1e6:.0f} MB/cell measured / "
-                        f"{static_cell / 1e6:.0f} MB modeled, "
+                        f"{static_cell / 1e6:.0f} MB modeled ({fam}), "
                         f"budget {budget / 1e9:.1f} GB)")
                 return new_pop, new_pad
             pop, pad_to = new_pop, new_pad

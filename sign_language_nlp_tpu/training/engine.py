@@ -208,6 +208,18 @@ class TrainConfig:
     # multiple of 8 (sublane-friendly). Bucketing auto-disables when the
     # cut would not save (>= 7/8 of S_max) or the corpus is tiny.
     bucket_percentile: float = 50.0
+    # Epoch blocking: once the measured wall of a single-epoch dispatch
+    # drops under `epoch_block_threshold_s`, dispatch `epoch_block`
+    # epochs as ONE jitted program (lax.scan over the epoch body, RNG
+    # folded in-device — bit-identical math, see
+    # tests/test_engine_extras.py). Small and compacted populations
+    # (and refits, P=1) are dispatch-bound through the remote TPU
+    # tunnel — per-epoch host round-trips dominate their wall — and
+    # blocking cuts those ~epoch_block-fold. Big populations stay on
+    # the single-epoch program (their dispatch wall is compute), so the
+    # block program only compiles where it pays. 1 disables.
+    epoch_block: int = 8
+    epoch_block_threshold_s: float = 0.35
 
 
 def _plateau_from_config(cfg: TrainConfig) -> PlateauConfig:
@@ -389,6 +401,36 @@ class PopulationTrainer:
             self._epoch_fn_cache[geom] = self._build_epoch_fn(geom)
         return self._epoch_fn_cache[geom]
 
+    def _get_block_fn(self, geom: Geometry, k: int):
+        """k-epoch program: lax.scan of the epoch body with per-epoch
+        RNG keys folded in-device (same fold_in chain as the host path,
+        so trajectories are bit-identical)."""
+        key = (geom, int(k))
+        if key not in self._epoch_fn_cache:
+            vm = self._build_cell_epoch_vm(geom)
+
+            def block_fn(params, opt_state, monitor, best_params, data,
+                         train_idx, train_w, valid_idx, valid_w, rate,
+                         sids, base_key, e0):
+                def body(carry, e):
+                    p, o, m, b = carry
+                    rngs = jax.vmap(
+                        lambda i: jax.random.fold_in(
+                            jax.random.fold_in(base_key, e), i))(sids)
+                    p, o, m, b, rec = vm(p, o, m, b, data, train_idx,
+                                         train_w, valid_idx, valid_w,
+                                         rate, rngs)
+                    return (p, o, m, b), rec
+
+                (p, o, m, b), recs = jax.lax.scan(
+                    body, (params, opt_state, monitor, best_params),
+                    e0 + jnp.arange(k, dtype=jnp.int32))
+                return p, o, m, b, recs
+
+            self._epoch_fn_cache[key] = jax.jit(
+                block_fn, donate_argnums=(0, 1, 2, 3))
+        return self._epoch_fn_cache[key]
+
     # ------------------------------------------------------------ memory
     def epoch_memory_bytes(self, n_corpus: int, seq_len: int,
                            task: TrainTask,
@@ -498,6 +540,16 @@ class PopulationTrainer:
         return loss, out
 
     def _build_epoch_fn(self, geom: Geometry):
+        vm = self._build_cell_epoch_vm(geom)
+
+        def epoch_fn(params, opt_state, monitor, best_params, data,
+                     train_idx, train_w, valid_idx, valid_w, rate, rngs):
+            return vm(params, opt_state, monitor, best_params, data,
+                      train_idx, train_w, valid_idx, valid_w, rate, rngs)
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1, 2, 3))
+
+    def _build_cell_epoch_vm(self, geom: Geometry):
         cfg = self.config
         V = self.num_classes
         criterion = self.criterion
@@ -614,16 +666,8 @@ class PopulationTrainer:
                            valid_metrics.items()})
             return params, opt_state, monitor, best_params, record
 
-        vm = jax.vmap(cell_epoch,
-                      in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0))
-
-        def epoch_fn(params, opt_state, monitor, best_params, data,
-                     train_idx, train_w, valid_idx, valid_w, rate, rngs):
-            return vm(params, opt_state, monitor, best_params, data,
-                      train_idx, train_w, valid_idx, valid_w, rate, rngs)
-
-        donate = (0, 1, 2, 3)
-        return jax.jit(epoch_fn, donate_argnums=donate)
+        return jax.vmap(cell_epoch,
+                        in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0))
 
     # ------------------------------------------------------------ fit
     def fit(self, data, task: TrainTask, init_params=None):
@@ -736,7 +780,21 @@ class PopulationTrainer:
 
         history: list = []
         base_key = jax.random.key(cfg.seed + 1)
-        for epoch in range(cfg.max_epochs):
+        # Epoch blocking state (see TrainConfig.epoch_block): walls of
+        # recent single-epoch dispatches decide when host round-trips
+        # dominate. The first wall after any (re)compile is excluded by
+        # taking the median of the last 3 of >= 4 samples.
+        import time as _time
+
+        disp_walls: list = []
+        block_on = False
+        epoch = 0
+        all_stopped = False
+        while epoch < cfg.max_epochs and not all_stopped:
+            k_ep = 1
+            if (block_on and cfg.epoch_block > 1 and not cfg.shuffle
+                    and cfg.max_epochs - epoch >= cfg.epoch_block):
+                k_ep = int(cfg.epoch_block)
             # Per-slot stable RNG identity (invariant to compaction and
             # population packing): the seed_id of the slot's original
             # cell. Padding slots reuse id 0 — their updates are masked.
@@ -757,55 +815,94 @@ class PopulationTrainer:
                             cell_rng.permutation(len(r))]
                     new_idx.append(jnp.asarray(idx_host))
                 train_idx = self._shard_population(tuple(new_idx))
-            rngs = jax.vmap(
-                lambda i: jax.random.fold_in(
-                    jax.random.fold_in(base_key, epoch), i))(
-                jnp.asarray(slot_sids, jnp.int32))
-            params, opt_state, monitor, best_params, record = epoch_fn(
-                params, opt_state, monitor, best_params, data_dev,
-                train_idx, train_w, valid_idx, valid_w, rate, rngs)
-            rec_cur = {k: np.asarray(v) for k, v in record.items()}
-            # Scatter the slot-level record into original-cell layout
-            # (frozen cells repeat their last recorded values):
-            if history:
-                rec_host = {k: v.copy() for k, v in history[-1].items()}
+            t_disp = _time.perf_counter()
+            if k_ep == 1:
+                rngs = jax.vmap(
+                    lambda i: jax.random.fold_in(
+                        jax.random.fold_in(base_key, epoch), i))(
+                    jnp.asarray(slot_sids, jnp.int32))
+                params, opt_state, monitor, best_params, record = epoch_fn(
+                    params, opt_state, monitor, best_params, data_dev,
+                    train_idx, train_w, valid_idx, valid_w, rate, rngs)
+                recs_host = [{k: np.asarray(v) for k, v in record.items()}]
             else:
-                rec_host = {k: np.zeros((P_orig,) + v.shape[1:], v.dtype)
-                            for k, v in rec_cur.items()}
-            for slot, oi in enumerate(orig_of):
-                if oi >= 0:
-                    for k in rec_cur:
-                        rec_host[k][oi] = rec_cur[k][slot]
-            history.append(rec_host)
-            if cfg.verbose >= 3 and P_orig == 1:
-                # skorch print_log-style epoch table for single fits
-                # (reference observability, helper.py:287 print_log).
-                if epoch == 0:
-                    cols = ["epoch", "train_loss", "valid_loss",
-                            *[f"valid_{m}" for m in cfg.scoring], "lr"]
-                    log("  ".join(f"{c:>12}" for c in cols))
-                    log("  ".join("-" * 12 for _ in cols))
-                vals = [f"{epoch + 1:>12}",
-                        f"{float(rec_host['train_loss'][0]):>12.4f}",
-                        f"{float(rec_host['valid_loss'][0]):>12.4f}",
-                        *[f"{float(rec_host[f'valid_{m}'][0]):>12.4f}"
-                          for m in cfg.scoring],
-                        f"{float(rec_host['lr'][0]):>12.5f}"]
-                log("  ".join(vals))
-            elif cfg.verbose >= 2:
-                log(f"epoch {epoch + 1}: "
-                    f"valid_loss={rec_host['valid_loss'].round(4)} "
-                    f"stopped={int(rec_host['stopped'].sum())}/{P_orig}")
-            stopped_now = rec_cur["stopped"]
-            real = orig_of >= 0
-            if bool(stopped_now[real].all()):
+                block_fn = self._get_block_fn(geom, k_ep)
+                params, opt_state, monitor, best_params, records = block_fn(
+                    params, opt_state, monitor, best_params, data_dev,
+                    train_idx, train_w, valid_idx, valid_w, rate,
+                    jnp.asarray(slot_sids, jnp.int32), base_key,
+                    np.int32(epoch))
+                rec_all = {k: np.asarray(v) for k, v in records.items()}
+                recs_host = [{k: v[j] for k, v in rec_all.items()}
+                             for j in range(k_ep)]
+            wall = _time.perf_counter() - t_disp
+            if k_ep == 1 and not block_on and cfg.epoch_block > 1 \
+                    and not cfg.shuffle:
+                disp_walls.append(wall)
+                if (len(disp_walls) >= 4
+                        and float(np.median(disp_walls[-3:]))
+                        <= cfg.epoch_block_threshold_s):
+                    block_on = True
+                    if cfg.verbose >= 2:
+                        log(f"  epoch blocking on ({cfg.epoch_block} "
+                            f"epochs/dispatch; single-epoch wall "
+                            f"{np.median(disp_walls[-3:]):.3f}s)")
+
+            n_done = 0
+            for j, rec_cur in enumerate(recs_host):
+                e_abs = epoch + j
+                # Scatter the slot-level record into original-cell layout
+                # (frozen cells repeat their last recorded values):
+                if history:
+                    rec_host = {k: v.copy() for k, v in history[-1].items()}
+                else:
+                    rec_host = {k: np.zeros((P_orig,) + v.shape[1:],
+                                            v.dtype)
+                                for k, v in rec_cur.items()}
+                for slot, oi in enumerate(orig_of):
+                    if oi >= 0:
+                        for k in rec_cur:
+                            rec_host[k][oi] = rec_cur[k][slot]
+                history.append(rec_host)
+                n_done = j + 1
+                if cfg.verbose >= 3 and P_orig == 1:
+                    # skorch print_log-style epoch table for single fits
+                    # (reference observability, helper.py:287 print_log).
+                    if e_abs == 0:
+                        cols = ["epoch", "train_loss", "valid_loss",
+                                *[f"valid_{m}" for m in cfg.scoring], "lr"]
+                        log("  ".join(f"{c:>12}" for c in cols))
+                        log("  ".join("-" * 12 for _ in cols))
+                    vals = [f"{e_abs + 1:>12}",
+                            f"{float(rec_host['train_loss'][0]):>12.4f}",
+                            f"{float(rec_host['valid_loss'][0]):>12.4f}",
+                            *[f"{float(rec_host[f'valid_{m}'][0]):>12.4f}"
+                              for m in cfg.scoring],
+                            f"{float(rec_host['lr'][0]):>12.5f}"]
+                    log("  ".join(vals))
+                elif cfg.verbose >= 2:
+                    log(f"epoch {e_abs + 1}: "
+                        f"valid_loss={rec_host['valid_loss'].round(4)} "
+                        f"stopped={int(rec_host['stopped'].sum())}"
+                        f"/{P_orig}")
+                stopped_now = rec_cur["stopped"]
+                real = orig_of >= 0
+                if bool(stopped_now[real].all()):
+                    # Later in-block epochs (if any) ran fully masked —
+                    # params/monitor are frozen, so truncating the
+                    # history here matches the single-epoch program.
+                    all_stopped = True
+                    break
+            epoch += n_done
+            if all_stopped:
                 break
 
             # ---- compaction: shed finished cells from the lockstep ----
             n_live = int((~stopped_now[real]).sum())
             if (cfg.compact and n_live > 0
                     and n_live <= (real.sum() // 2)
-                    and epoch < cfg.max_epochs - cfg.compact_min_remaining):
+                    and epoch - 1 < cfg.max_epochs
+                    - cfg.compact_min_remaining):
                 new_P = max(1, 1 << (n_live - 1).bit_length())
                 if self.mesh is not None:
                     d = self.mesh.devices.size
@@ -849,6 +946,12 @@ class PopulationTrainer:
                                         for rows in cur_train_rows_b]
                     orig_of = new_orig
                     P = new_P
+                    if not block_on:
+                        # Re-evaluate blocking at the new population
+                        # size (walls shrink with P; the first dispatch
+                        # after compaction pays a retrace and is
+                        # excluded by the median-of-last-3 rule).
+                        disp_walls.clear()
                     if cfg.verbose >= 1:
                         log(f"  population compacted to {P} slots "
                             f"({n_live} live cells)")
