@@ -30,7 +30,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 N_PROC = 2
-PORT = 18476
+# Overridable so the pytest wrapper (tests/test_multihost.py) can pick
+# a free port instead of skipping when the default is busy:
+PORT = int(os.environ.get("SLNLP_MH_PORT", "18476"))
 LRS = [0.3, 0.1, 0.03]
 CV = 2
 
