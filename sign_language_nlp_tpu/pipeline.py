@@ -300,6 +300,9 @@ def test_model(driver: GridSearchDriver, result, test_data: AslDataset,
     with create_profiler(workdir=workdir) as record:
         trainer.predict_log_probs(params, data, rows)
     record.add_cost(_predict_cost(model, params, test_data))
+    # Optimized HLO of the traced program: joins the trace per-op rows
+    # with analysis-backed FLOPs/bytes (cache hit — it just ran).
+    record.hlo_text = trainer.predict_hlo_text(params, data, rows)
     if is_coordinator():
         save_output(test_output, phase=phase, workdir=workdir)
         save_profile(record, phase=phase, workdir=workdir)

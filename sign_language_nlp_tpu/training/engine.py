@@ -994,6 +994,28 @@ class PopulationTrainer:
                           batch_size: int | None = None):
         """Batched inference for P cells over per-cell row lists.
         Returns ([P, M, V] log-probs, [P, M] weights)."""
+        fn, args, M = self._predict_call(params, data, rows, batch_size)
+        out, w_out = fn(*args)
+        return out[:, :M], w_out[:, :M]
+
+    def predict_hlo_text(self, params, data, rows: list,
+                         batch_size: int | None = None):
+        """Optimized HLO of the compiled predict program for these
+        shapes — fed to the profiler so per-op rows get analysis-backed
+        FLOPs/bytes (profiling/profiler.per_instruction_costs). Uses
+        the same cached jit as predict_log_probs, so after a predict
+        the lower+compile is a cache hit."""
+        fn, args, _ = self._predict_call(params, data, rows, batch_size)
+        try:
+            return fn.lower(*args).compile().as_text()
+        except Exception as e:  # noqa: BLE001 — profiling is best-effort
+            log(f"predict HLO unavailable ({type(e).__name__}: "
+                f"{str(e)[:80]})")
+            return None
+
+    def _predict_call(self, params, data, rows: list,
+                      batch_size: int | None = None):
+        """Shared predict setup: returns (jitted fn, args, M)."""
         tokens, lengths, labels = [jnp.asarray(np.asarray(a)) for a in data]
         labels = labels.astype(jnp.int32)
         M = max(max(len(r) for r in rows), 1)
@@ -1021,9 +1043,8 @@ class PopulationTrainer:
 
             self._predict_fn_cache[cache_key] = jax.jit(
                 jax.vmap(cell_predict, in_axes=(0, None, 0, 0)))
-        out, w_out = self._predict_fn_cache[cache_key](
-            params, (tokens, lengths, labels), idx, w)
-        return out[:, :M], w_out[:, :M]
+        return (self._predict_fn_cache[cache_key],
+                (params, (tokens, lengths, labels), idx, w), M)
 
 
 def predict_log_probs(model, params, data, rows, tgt_pad_idx=1,
