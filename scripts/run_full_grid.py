@@ -1,0 +1,135 @@
+"""The reference's ACTUAL workload at full scale: the 324-candidate ×
+5-fold transformer grid (1,620 fits + refit + test) end-to-end on the
+real device — VERDICT r2 next-round item #1.
+
+Grid  = config-transformer.yaml's exact grid (reference
+config/config-transformer.yaml:46-53, farmed by main.py:77-78):
+lr{0.1,0.01,0.001} × emb{1024,512,128} × ffn{512,256,128} ×
+layers{6,4,2} × dropout{0.5,0.1} × heads{8,4} → 54 shape groups ×
+6 in-group candidates × 5 folds.
+
+Corpus = the realistic-vocabulary synthetic (ASL-Phono is absent in
+this environment): 100 classes × ~2,000 samples, composed-token vocab
+at ASL scale (scripts/run_reference_scale_group.py corpus builder).
+
+Training settings are the reference's except where the tunnel budget
+forces scaling (recorded in BASELINE.md): early stopping patience 30 /
+rel 1e-4 and ReduceLROnPlateau(0.2, patience 5) are faithful;
+`--max-epochs` defaults to 60 (reference: 200) — with patience 30
+every converging fit still runs >= 31 epochs, and slow-burn cells cap
+at 60 instead of 200. The non-leak decoder path (`tgt_input: "bos"`)
+is used so reported metrics are genuine (round-2 headline decision).
+
+The workdir is FIXED (not datetime-templated) so a killed run resumes
+from the manifest: rerun the same command (the round-3 kill/resume
+demonstration at scale).
+
+Run:  python scripts/run_full_grid.py [--max-epochs 60]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-epochs", type=int, default=60)
+    ap.add_argument("--max-population", type=int, default=32)
+    ap.add_argument("--workdir", default="work/full-grid-transformer")
+    args = ap.parse_args()
+
+    corpus = Path("work/synth-corpus-lowdiv")
+    if not corpus.exists():
+        from scripts.run_reference_scale_group import (
+            make_low_diversity_corpus)
+
+        make_low_diversity_corpus(str(corpus))
+
+    from scripts.run_reference_scale_group import FIELDS
+    from sign_language_nlp_tpu.pipeline import run
+    from sign_language_nlp_tpu.utils import log, set_verbosity
+    from sign_language_nlp_tpu.utils.jaxtools import setup_compilation_cache
+
+    setup_compilation_cache()
+    set_verbosity(1)
+
+    run_args = {
+        "seed": 1, "debug": False, "cuda": False, "verbose": 1,
+        "n_jobs": -1, "cv": 5, "lr": None,
+        "scoring": ["neg_log_loss", "accuracy", "precision_weighted",
+                    "recall_weighted", "f1_weighted"],
+        "max_epochs": args.max_epochs, "batch_size": 50,
+        "test_size": 0.15,
+        "early_stopping": {"patience": 30, "threshold": 1e-4,
+                           "threshold_mode": "rel"},
+        "gradient_clipping": {"gradient_clip_value": 0.5},
+        "lr_scheduler": {"policy": "ReduceLROnPlateau", "factor": 0.2,
+                         "patience": 5},
+        "model": "model.Transformer",
+        "model_args": {},
+        "criterion": "torch.nn.CrossEntropyLoss",
+        "optimizer": "torch.optim.SGD",
+        "optimizer_args": {"nesterov": False, "momentum": 0.9},
+        # The reference grid, verbatim (config-transformer.yaml:46-53):
+        "grid_args": {
+            "lr": [0.1, 0.01, 0.001],
+            "model_args": {
+                "embedding_size": [1024, 512, 128],
+                "hidden_size": [512, 256, 128],
+                "num_layers": [6, 4, 2],
+                "dropout": [0.5, 0.1],
+                "num_heads": [8, 4],
+            },
+        },
+        "dataset_args": {
+            "dataset_dir": str(corpus), "fields": FIELDS,
+            "samples_min_freq": 2, "composition_strategy": "as_words",
+            "reuse_transient": True, "balance_dataset": True,
+            "use_native": True,
+        },
+        "workdir": args.workdir,
+        "mesh_args": {"max_population": args.max_population},
+        "precision_args": {"compute_dtype": "bfloat16"},
+        "compat_args": {"scan_layers": True, "tgt_input": "bos"},
+        "train_args": {"length_bucketing": True},
+    }
+    t0 = time.time()
+    run(run_args)
+    wall = time.time() - t0
+    log(f"FULL GRID TOTAL WALL: {wall:.1f}s")
+
+    # Per-shape-group breakdown from cv_results:
+    import csv
+
+    groups: dict = {}
+    with open(Path(args.workdir, "grid_search_results.csv")) as f:
+        for row in csv.DictReader(f):
+            key = (row["param_module__embedding_size"],
+                   row["param_module__hidden_size"],
+                   row["param_module__num_layers"],
+                   row["param_module__num_heads"])
+            g = groups.setdefault(key, {"fit_s": 0.0, "n": 0})
+            g["fit_s"] += float(row["mean_fit_time"]) * 5
+            g["n"] += 5
+    breakdown = sorted(
+        ({"emb": k[0], "ffn": k[1], "layers": k[2], "heads": k[3],
+          "fit_s": round(v["fit_s"], 1), "fits": v["n"]}
+         for k, v in groups.items()),
+        key=lambda r: -r["fit_s"])
+    out = json.loads(Path(args.workdir, "test_output.json").read_text())
+    summary = {"wall_s": round(wall, 1), "n_groups": len(groups),
+               "n_fits": sum(g["n"] for g in groups.values()),
+               "heaviest_groups": breakdown[:5], **out}
+    Path(args.workdir, "full_grid_summary.json").write_text(
+        json.dumps(summary, indent=1))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,10 +7,11 @@ biases instead of boolean masks, static shapes, log-softmax head.
 
 Architecture parity with torch `nn.Transformer` defaults the reference
 relies on (model/transformer.py:40-45): post-LayerNorm residual blocks,
-ReLU feed-forward, per-stack final LayerNorm, embedding × sqrt(d) +
-sinusoidal PE + dropout on both streams, and a `num_layers`-deep
-encoder and decoder of `num_heads` heads with `hidden_size`
-feed-forward width.
+ReLU feed-forward, per-stack final LayerNorm (eps 1e-5, the torch
+default — flax's 1e-6 drifts the full-fit torch A/B), embedding ×
+sqrt(d) + sinusoidal PE + dropout on both streams, and a
+`num_layers`-deep encoder and decoder of `num_heads` heads with
+`hidden_size` feed-forward width.
 
 Faithful reference quirks (flags; SURVEY.md §7 hard part 5):
   * `causal_encoder=True` — the reference applies a *causal* mask to the
@@ -104,10 +105,10 @@ class EncoderLayer(nn.Module):
                                        self.backend, self.dtype,
                                        name="self_attn")(
             x, x, bias, rate, deterministic)
-        x = nn.LayerNorm(name="norm1")(x + drop(attn))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + drop(attn))
         ff = FeedForward(self.d_model, self.hidden_size, self.dtype,
                          name="ff")(x, rate, deterministic)
-        return nn.LayerNorm(name="norm2")(x + drop(ff))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + drop(ff))
 
 
 class DecoderLayer(nn.Module):
@@ -129,15 +130,15 @@ class DecoderLayer(nn.Module):
                                        self.backend, self.dtype,
                                        name="self_attn")(
             x, x, self_bias, rate, deterministic)
-        x = nn.LayerNorm(name="norm1")(x + drop(attn))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + drop(attn))
         cross = MultiHeadAttentionBlock(self.d_model, self.num_heads,
                                         self.backend, self.dtype,
                                         name="cross_attn")(
             x, memory, cross_bias, rate, deterministic)
-        x = nn.LayerNorm(name="norm2")(x + drop(cross))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + drop(cross))
         ff = FeedForward(self.d_model, self.hidden_size, self.dtype,
                          name="ff")(x, rate, deterministic)
-        return nn.LayerNorm(name="norm3")(x + drop(ff))
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + drop(ff))
 
 
 class _EncoderLayerScan(nn.Module):
@@ -265,7 +266,7 @@ class Transformer(nn.Module):
                                  self.attn_backend, self.dtype,
                                  name=f"encoder_layer_{i}")(
                     h, src_bias, rate, deterministic)
-        memory = nn.LayerNorm(name="encoder_norm")(h)
+        memory = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")(h)
 
         # --- decoder stack + final norm ---
         g = tgt_embed
@@ -285,7 +286,7 @@ class Transformer(nn.Module):
                                  self.attn_backend, self.dtype,
                                  name=f"decoder_layer_{i}")(
                     g, memory, tgt_bias, cross_bias, rate, deterministic)
-        g = nn.LayerNorm(name="decoder_norm")(g)
+        g = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")(g)
 
         # --- classification head: linear → log_softmax → [B, V] ---
         logits = torch_dense(self.tgt_vocab_size, d, name="head")(

@@ -340,7 +340,25 @@ class GridSearchDriver:
         fit_times = np.zeros((n_cand, n_folds))
         score_times = np.zeros((n_cand, n_folds))
 
-        for key, cand_ids in groups.items():
+        # Execution order: cheapest shape group first (by the static
+        # per-cell estimate). Results are order-invariant (cells are
+        # content-addressed and seeded by global ids); running the many
+        # small geometries first banks most of the grid into the
+        # manifest early, so a preempted run loses only heavy-corner
+        # work (scheduling policy for preemptible TPUs, SURVEY.md §5).
+        from ..models.registry import model_family as _mf
+
+        def _group_cost(item):
+            margs = dict(self.base_model_args)
+            margs.update(candidate_to_nested(
+                candidates[item[1][0]])["model_args"])
+            return estimate_cell_bytes(
+                margs, self.src_vocab_size, self.tgt_vocab_size,
+                int(np.asarray(data[0]).shape[1]),
+                int(self.train_config.batch_size),
+                self.train_config.remat, family=_mf(self.model_name))
+
+        for key, cand_ids in sorted(groups.items(), key=_group_cost):
             cells = [(ci, fi) for ci in cand_ids for fi in range(n_folds)]
             for c in cells:
                 mkey = cell_key(*c)

@@ -218,8 +218,13 @@ class TrainConfig:
     # blocking cuts those ~epoch_block-fold. Big populations stay on
     # the single-epoch program (their dispatch wall is compute), so the
     # block program only compiles where it pays. 1 disables.
+    # Threshold calibration (round 3, measured on the axon v5e): the
+    # fixed dispatch+sync overhead is ~130-145 ms/epoch, so a fit whose
+    # single-epoch wall is under ~0.75 s is paying >=20% overhead —
+    # blocking recovers ~7/8 of it (measured 3.2-3.7x on P<=4 fits,
+    # /tmp-probe recorded in DESIGN.md §6c).
     epoch_block: int = 8
-    epoch_block_threshold_s: float = 0.35
+    epoch_block_threshold_s: float = 0.75
 
 
 def _plateau_from_config(cfg: TrainConfig) -> PlateauConfig:
@@ -898,9 +903,14 @@ class PopulationTrainer:
                 break
 
             # ---- compaction: shed finished cells from the lockstep ----
+            # Trigger: whenever the live cells fit a SMALLER power-of-two
+            # bucket than the current slot count. (Round 2 gated on
+            # `n_live <= n_real // 2`, which compared against REAL cells
+            # — after a 16→8 compaction with 7 real slots, a drop to 4
+            # live could never re-trigger, so the long tail paid 8 slots
+            # for 4 cells; measured in the round-3 A/B.)
             n_live = int((~stopped_now[real]).sum())
             if (cfg.compact and n_live > 0
-                    and n_live <= (real.sum() // 2)
                     and epoch - 1 < cfg.max_epochs
                     - cfg.compact_min_remaining):
                 new_P = max(1, 1 << (n_live - 1).bit_length())
