@@ -8,29 +8,27 @@ tests/test_training.py); this harness converts "components match" into
 data/batch order, SGD+momentum, global-norm clip, ReduceLROnPlateau and
 skorch-style early stopping on both sides — the per-epoch train/valid
 loss trajectories must agree within float32 tolerance and the two fits
-must early-stop at the SAME epoch.
+must show identical early-stop behavior.
 
-Torch side mirrors the reference architectures in plain torch 2.x:
-  * RNN families (reference model/base/encoder_decoder_attn_bkp.py:
-    79-413): packed bidirectional GRU/LSTM encoder, tanh-bridge (the
-    LSTM cell state reuses the hidden bridge, :276-280), Bahdanau MLP
-    attention, one decoder step, bias-free generator + log_softmax;
-  * Transformer (reference model/transformer.py:9-109): embed×sqrt(d)
-    + sinusoidal PE into torch `nn.Transformer` with the CAUSAL src
-    mask quirk (:68), no memory mask, tgt = the bare label `y` (:65),
-    linear head + log_softmax.
-CE loss over log-prob outputs (the faithful double-log-softmax,
-SURVEY.md §3.2) on both sides.
+The torch reference-math models and fit loop live in
+scripts/torch_reference.py (shared with the workload-scale A/B,
+scripts/run_torch_workload_ab.py). CE loss over log-prob outputs (the
+faithful double-log-softmax, SURVEY.md §3.2) on both sides.
 """
-import math
+import sys
+from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from scripts.torch_reference import (TorchRNNAttn, TorchTransformer,  # noqa: E402
+                                     copy_rnn_params,
+                                     copy_transformer_params, torch_fit)
 from sign_language_nlp_tpu.models.registry import build_model  # noqa: E402
 from sign_language_nlp_tpu.training.engine import (PopulationTrainer,  # noqa: E402
                                                    TrainConfig, TrainTask)
@@ -44,191 +42,7 @@ ES_PATIENCE = 2
 PLATEAU = {"factor": 0.2, "patience": 1, "threshold": 1e-4}
 MAX_EPOCHS = 15
 CLIP = 0.5
-
-
-class TorchRNNAttn(torch.nn.Module):
-    """Reference-math GRU/LSTM classifier in plain torch (independent
-    reimplementation of encoder_decoder_attn_bkp.py:79-413 semantics)."""
-
-    def __init__(self, cell: str = "gru"):
-        super().__init__()
-        self.cell = cell
-        rnn_cls = torch.nn.GRU if cell == "gru" else torch.nn.LSTM
-        cell_cls = (torch.nn.GRUCell if cell == "gru"
-                    else torch.nn.LSTMCell)
-        self.src_embed = torch.nn.Embedding(VS, E)
-        self.rnn = rnn_cls(E, H, L, batch_first=True, bidirectional=True)
-        self.bridge = torch.nn.Linear(2 * H, H)
-        self.key_layer = torch.nn.Linear(2 * H, H, bias=False)
-        self.query_layer = torch.nn.Linear(H, H, bias=False)
-        self.energy_layer = torch.nn.Linear(H, 1, bias=False)
-        self.dec_cell = cell_cls(E + 2 * H, H)
-        self.tgt_embed = torch.nn.Embedding(VT, E)
-        self.pre_output = torch.nn.Linear(E + 3 * H, H, bias=False)
-        self.generator = torch.nn.Linear(H, VT, bias=False)
-
-    def forward(self, X, lengths, y=None):
-        B, S = X.shape
-        valid = X != PAD
-        emb = self.src_embed(X) * valid.unsqueeze(-1)
-        packed = torch.nn.utils.rnn.pack_padded_sequence(
-            emb, lengths, batch_first=True, enforce_sorted=False)
-        out_packed, h_n = self.rnn(packed)
-        if self.cell == "lstm":
-            h_n = h_n[0]
-        enc_out, _ = torch.nn.utils.rnn.pad_packed_sequence(
-            out_packed, batch_first=True, total_length=S, padding_value=0.0)
-        hidden_concat = torch.cat([h_n[0::2], h_n[1::2]], dim=2)  # [L,B,2H]
-        init_hidden = torch.tanh(self.bridge(hidden_concat))      # [L,B,H]
-
-        proj_key = self.key_layer(enc_out)                        # [B,S,H]
-        query = init_hidden[-1].unsqueeze(1)                      # [B,1,H]
-        scores = self.energy_layer(
-            torch.tanh(self.query_layer(query) + proj_key))[..., 0]
-        scores = scores.masked_fill(~valid, -1e30).unsqueeze(1)   # [B,1,S]
-        alphas = torch.softmax(scores, dim=-1)
-        context = torch.bmm(alphas, enc_out)                      # [B,1,2H]
-
-        prev_embed = self.tgt_embed(
-            torch.full((B, 1), BOS, dtype=torch.long))
-        x = torch.cat([prev_embed, context], dim=-1)[:, 0, :]
-        if self.cell == "lstm":
-            # Reference quirk: the cell state starts as a COPY of the
-            # hidden bridge (encoder_decoder_attn_bkp.py:276-280).
-            h_top, _ = self.dec_cell(x, (init_hidden[0], init_hidden[0]))
-        else:
-            h_top = self.dec_cell(x, init_hidden[0])
-        pre = torch.cat([prev_embed[:, 0, :], h_top, context[:, 0, :]],
-                        dim=-1)
-        logits = self.generator(self.pre_output(pre))
-        return torch.log_softmax(logits, dim=-1)
-
-
-def _copy_torch_params(tm: TorchRNNAttn) -> dict:
-    """Torch initial weights → the flax param-tree layout (works for
-    both cells: LSTM weights simply carry 4H rows instead of 3H)."""
-    def t(x):
-        # np.array(copy=True): jnp.asarray can alias the torch storage
-        # zero-copy on CPU, and torch's in-place opt.step() would then
-        # mutate the "initial" jax params mid-comparison.
-        return jnp.asarray(np.array(x.detach().numpy(), copy=True))
-
-    enc = {}
-    for layer in range(L):
-        for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
-            enc[f"l{layer}_{direction}"] = {
-                "w_ih": t(getattr(tm.rnn, f"weight_ih_l{layer}{suffix}")).T,
-                "w_hh": t(getattr(tm.rnn, f"weight_hh_l{layer}{suffix}")).T,
-                "b_ih": t(getattr(tm.rnn, f"bias_ih_l{layer}{suffix}")),
-                "b_hh": t(getattr(tm.rnn, f"bias_hh_l{layer}{suffix}")),
-            }
-    return {"params": {
-        "src_embed": {"embedding": t(tm.src_embed.weight)},
-        "tgt_embed": {"embedding": t(tm.tgt_embed.weight)},
-        "encoder": enc,
-        "bridge": {"kernel": t(tm.bridge.weight).T,
-                   "bias": t(tm.bridge.bias)},
-        "decoder": {
-            "attention_key_layer": {"kernel": t(tm.key_layer.weight).T},
-            "attention": {
-                "query_layer": {"kernel": t(tm.query_layer.weight).T},
-                "energy_layer": {"kernel": t(tm.energy_layer.weight).T},
-            },
-            "l0_w_ih": t(tm.dec_cell.weight_ih).T,
-            "l0_b_ih": t(tm.dec_cell.bias_ih),
-            "l0_w_hh": t(tm.dec_cell.weight_hh).T,
-            "l0_b_hh": t(tm.dec_cell.bias_hh),
-            "pre_output_layer": {"kernel": t(tm.pre_output.weight).T},
-        },
-        "generator": {"kernel": t(tm.generator.weight).T},
-    }}
-
-
 NH, FF = 2, 16  # transformer heads / feed-forward width
-
-
-class TorchTransformer(torch.nn.Module):
-    """Reference Transformer in plain torch (model/transformer.py:9-109
-    semantics around torch nn.Transformer, dropout 0)."""
-
-    def __init__(self):
-        super().__init__()
-        self.src_embed = torch.nn.Embedding(VS, E)
-        self.tgt_embed = torch.nn.Embedding(VT, E)
-        self.transformer = torch.nn.Transformer(
-            d_model=E, nhead=NH, num_encoder_layers=L,
-            num_decoder_layers=L, dim_feedforward=FF, dropout=0.0)
-        self.head = torch.nn.Linear(E, VT)
-
-    @staticmethod
-    def _pe(S):
-        pos = torch.arange(S, dtype=torch.float32)[:, None]
-        div = torch.exp(torch.arange(0, E, 2, dtype=torch.float32)
-                        * (-math.log(10000.0) / E))
-        pe = torch.zeros(S, E)
-        pe[:, 0::2] = torch.sin(pos * div)
-        pe[:, 1::2] = torch.cos(pos * div[: E // 2])
-        return pe[:, None, :]  # [S,1,E] seq-first
-
-    def forward(self, X, lengths, y):
-        B, S = X.shape
-        src = X.t()                      # [S,B] seq-first
-        tgt = y.unsqueeze(0)             # [1,B] — the label-leak quirk
-        scale = math.sqrt(E)
-        se = self.src_embed(src) * scale + self._pe(S)
-        te = self.tgt_embed(tgt) * scale + self._pe(1)
-        causal = torch.triu(torch.full((S, S), float("-inf")), diagonal=1)
-        out = self.transformer(
-            se, te,
-            src_mask=causal,                      # causal ENCODER quirk
-            tgt_mask=torch.zeros(1, 1),
-            src_key_padding_mask=(X == PAD),
-            tgt_key_padding_mask=(y.unsqueeze(1) == PAD))
-        logits = self.head(out[0])               # squeeze the len-1 tgt
-        return torch.log_softmax(logits, dim=-1)
-
-
-def _copy_transformer_params(tm: TorchTransformer) -> dict:
-    def t(x):
-        return jnp.asarray(np.array(x.detach().numpy(), copy=True))
-
-    def mha(m):
-        W = np.array(m.in_proj_weight.detach().numpy(), copy=True)
-        b = np.array(m.in_proj_bias.detach().numpy(), copy=True)
-        (qw, kw, vw), (qb, kb, vb) = np.split(W, 3), np.split(b, 3)
-        return {
-            "q_proj": {"kernel": jnp.asarray(qw.T), "bias": jnp.asarray(qb)},
-            "k_proj": {"kernel": jnp.asarray(kw.T), "bias": jnp.asarray(kb)},
-            "v_proj": {"kernel": jnp.asarray(vw.T), "bias": jnp.asarray(vb)},
-            "out_proj": {"kernel": t(m.out_proj.weight).T,
-                         "bias": t(m.out_proj.bias)},
-        }
-
-    def ln(m):
-        return {"scale": t(m.weight), "bias": t(m.bias)}
-
-    def ff(lay):
-        return {"linear1": {"kernel": t(lay.linear1.weight).T,
-                            "bias": t(lay.linear1.bias)},
-                "linear2": {"kernel": t(lay.linear2.weight).T,
-                            "bias": t(lay.linear2.bias)}}
-
-    p = {"src_embedding": {"embedding": t(tm.src_embed.weight)},
-         "tgt_embedding": {"embedding": t(tm.tgt_embed.weight)},
-         "encoder_norm": ln(tm.transformer.encoder.norm),
-         "decoder_norm": ln(tm.transformer.decoder.norm),
-         "head": {"kernel": t(tm.head.weight).T, "bias": t(tm.head.bias)}}
-    for i, lay in enumerate(tm.transformer.encoder.layers):
-        p[f"encoder_layer_{i}"] = {
-            "self_attn": mha(lay.self_attn), "norm1": ln(lay.norm1),
-            "norm2": ln(lay.norm2), "ff": ff(lay)}
-    for i, lay in enumerate(tm.transformer.decoder.layers):
-        p[f"decoder_layer_{i}"] = {
-            "self_attn": mha(lay.self_attn),
-            "cross_attn": mha(lay.multihead_attn),
-            "norm1": ln(lay.norm1), "norm2": ln(lay.norm2),
-            "norm3": ln(lay.norm3), "ff": ff(lay)}
-    return {"params": p}
 
 
 def _data(seed=0):
@@ -246,43 +60,13 @@ def _data(seed=0):
     return tokens, lengths, y
 
 
-def _torch_fit(tm, tokens, lengths, y, lr=LR, max_epochs=MAX_EPOCHS):
-    """skorch-semantics loop: fixed-order batches, CE over log-probs,
-    clip, SGD+momentum, plateau on valid_loss, skorch early stopping."""
-    Xtr = torch.tensor(tokens[:N_TRAIN].astype(np.int64))
-    ltr = torch.tensor(lengths[:N_TRAIN].astype(np.int64))
-    ytr = torch.tensor(y[:N_TRAIN].astype(np.int64))
-    Xva = torch.tensor(tokens[N_TRAIN:].astype(np.int64))
-    lva = torch.tensor(lengths[N_TRAIN:].astype(np.int64))
-    yva = torch.tensor(y[N_TRAIN:].astype(np.int64))
-
-    opt = torch.optim.SGD(tm.parameters(), lr=lr, momentum=0.9)
-    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, **PLATEAU)
-    ce = torch.nn.CrossEntropyLoss()
-    es_best, misses = float("inf"), 0
-    train_losses, valid_losses = [], []
-    for _epoch in range(max_epochs):
-        batch_losses = []
-        for s in range(0, N_TRAIN, BATCH):
-            opt.zero_grad()
-            out = tm(Xtr[s:s + BATCH], ltr[s:s + BATCH], ytr[s:s + BATCH])
-            loss = ce(out, ytr[s:s + BATCH])
-            loss.backward()
-            torch.nn.utils.clip_grad_norm_(tm.parameters(), CLIP)
-            opt.step()
-            batch_losses.append(loss.item())
-        train_losses.append(float(np.mean(batch_losses)))
-        with torch.no_grad():
-            v = ce(tm(Xva, lva, yva), yva).item()
-        valid_losses.append(v)
-        sched.step(v)
-        if v < es_best * (1 - 1e-4):
-            es_best, misses = v, 0
-        else:
-            misses += 1
-        if misses >= ES_PATIENCE:
-            break
-    return np.array(train_losses), np.array(valid_losses)
+def _torch_fit(tm, tokens, lengths, y):
+    rows = np.arange(N_TRAIN + N_VALID)
+    t_train, t_valid, _ = torch_fit(
+        tm, tokens, lengths, y, rows[:N_TRAIN], rows[N_TRAIN:],
+        lr=LR, batch_size=BATCH, max_epochs=MAX_EPOCHS, clip=CLIP,
+        plateau=PLATEAU, es_patience=ES_PATIENCE)
+    return t_train, t_valid
 
 
 def _engine_fit(model, init_params, tokens, lengths, y, lr=LR,
@@ -332,8 +116,8 @@ def _compare(out, t_train, t_valid, rtol=2e-3, atol=2e-3,
 def test_full_fit_matches_torch(cell):
     tokens, lengths, y = _data()
     torch.manual_seed(0)
-    tm = TorchRNNAttn(cell)
-    init_params = _copy_torch_params(tm)
+    tm = TorchRNNAttn(VS, VT, E, H, L, cell=cell, pad=PAD, bos=BOS)
+    init_params = copy_rnn_params(tm)
 
     t_train, t_valid = _torch_fit(tm, tokens, lengths, y)
 
@@ -348,8 +132,8 @@ def test_full_fit_matches_torch(cell):
 def test_full_fit_matches_torch_transformer():
     tokens, lengths, y = _data()
     torch.manual_seed(0)
-    tm = TorchTransformer()
-    init_params = _copy_transformer_params(tm)
+    tm = TorchTransformer(VS, VT, E, NH, L, FF, pad=PAD, bos=BOS)
+    init_params = copy_transformer_params(tm)
 
     t_train, t_valid = _torch_fit(tm, tokens, lengths, y)
 
