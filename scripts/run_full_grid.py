@@ -15,10 +15,13 @@ at ASL scale (scripts/run_reference_scale_group.py corpus builder).
 Training settings are the reference's except where the tunnel budget
 forces scaling (recorded in BASELINE.md): early stopping patience 30 /
 rel 1e-4 and ReduceLROnPlateau(0.2, patience 5) are faithful;
-`--max-epochs` defaults to 60 (reference: 200) — with patience 30
-every converging fit still runs >= 31 epochs, and slow-burn cells cap
-at 60 instead of 200. The non-leak decoder path (`tgt_input: "bos"`)
-is used so reported metrics are genuine (round-2 headline decision).
+`--max-epochs` defaults to 40 and `--patience` to 10 (reference: 200
+/ 30) — a proportional scaling of the epoch budget; at max_epochs 40
+the reference's patience-30 could never trip before the cap anyway, so
+the scaled patience is what actually exercises early-stop dynamics at
+this scale. Recorded in BASELINE.md per VERDICT r2 #1's budget note.
+The non-leak decoder path (`tgt_input: "bos"`) is used so reported
+metrics are genuine (round-2 headline decision).
 
 The workdir is FIXED (not datetime-templated) so a killed run resumes
 from the manifest: rerun the same command (the round-3 kill/resume
@@ -39,7 +42,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--max-epochs", type=int, default=60)
+    ap.add_argument("--max-epochs", type=int, default=40)
+    ap.add_argument("--patience", type=int, default=10)
     ap.add_argument("--max-population", type=int, default=32)
     ap.add_argument("--workdir", default="work/full-grid-transformer")
     args = ap.parse_args()
@@ -66,7 +70,7 @@ def main():
                     "recall_weighted", "f1_weighted"],
         "max_epochs": args.max_epochs, "batch_size": 50,
         "test_size": 0.15,
-        "early_stopping": {"patience": 30, "threshold": 1e-4,
+        "early_stopping": {"patience": args.patience, "threshold": 1e-4,
                            "threshold_mode": "rel"},
         "gradient_clipping": {"gradient_clip_value": 0.5},
         "lr_scheduler": {"policy": "ReduceLROnPlateau", "factor": 0.2,
@@ -123,7 +127,10 @@ def main():
          for k, v in groups.items()),
         key=lambda r: -r["fit_s"])
     out = json.loads(Path(args.workdir, "test_output.json").read_text())
-    summary = {"wall_s": round(wall, 1), "n_groups": len(groups),
+    summary = {"wall_s": round(wall, 1),
+           "max_epochs": args.max_epochs,
+           "patience": args.patience,
+           "n_groups": len(groups),
                "n_fits": sum(g["n"] for g in groups.values()),
                "heaviest_groups": breakdown[:5], **out}
     Path(args.workdir, "full_grid_summary.json").write_text(
