@@ -94,6 +94,8 @@ def _train_config_from_args(args: dict) -> TrainConfig:
         shuffle=bool(ta.get("shuffle", False)),
         length_bucketing=bool(ta.get("length_bucketing", False)),
         bucket_percentile=float(ta.get("bucket_percentile", 50.0)),
+        bucket_percentiles=(tuple(ta["bucket_percentiles"])
+                            if ta.get("bucket_percentiles") else None),
     )
 
 

@@ -433,22 +433,31 @@ class GridSearchDriver:
             lengths_all = np.asarray(data[1])
             bucket_seq = trainer._bucket_plan(lengths_all, int(seq_len))
 
+            from ..training.engine import _as_cuts
+
+            cuts = _as_cuts(bucket_seq)
+
             def bucket_counts(rows):
-                if bucket_seq is None:
+                if not cuts:
                     return (len(rows),)
-                s = int((lengths_all[rows] <= bucket_seq).sum())
-                return (s, len(rows) - s)
+                ln = lengths_all[rows]
+                counts, lower = [], 0
+                for hi in cuts:
+                    counts.append(int(((ln > lower) & (ln <= hi)).sum()))
+                    lower = hi
+                counts.append(int((ln > lower).sum()))
+                return tuple(counts)
 
             inner = [train_valid_split(y_all[ft], n_splits=5)
                      for ft, _ in folds]
             per_fold = [(bucket_counts(ft[tr]), bucket_counts(ft[va]))
                         for (ft, _), (tr, va) in zip(folds, inner)]
-            n_buckets = 1 if bucket_seq is None else 2
+            n_buckets = len(cuts) + 1
             floors = tuple(
                 (max(tr[bi] for tr, _ in per_fold),
                  max(va[bi] for _, va in per_fold))
                 for bi in range(n_buckets))
-            pad_rows_to = floors[0] if bucket_seq is None else floors
+            pad_rows_to = floors[0] if not cuts else floors
 
             pop, pad_to = self._plan_population(
                 trainer, margs, int(n_corpus), int(seq_len),
@@ -607,7 +616,10 @@ class GridSearchDriver:
             # sequence fraction — the dominant per-batch cost terms are
             # ~linear in S, and the short bucket exists precisely to
             # stop paying S_max there.
-            seq_lens = ((bucket_seq, seq_len) if bucket_seq is not None
+            from ..training.engine import _as_cuts
+
+            seq_lens = (_as_cuts(bucket_seq) + (seq_len,)
+                        if bucket_seq is not None
                         else (seq_len,) * len(pad_rows_to))
             n_tb = sum((-(-int(tr) // bsz)) * (int(s) / int(seq_len))
                        for (tr, _), s in zip(pad_rows_to, seq_lens))

@@ -186,3 +186,74 @@ def test_grid_driver_with_bucketing():
     assert res.n_candidates == 2 and res.n_folds == 2
     scores = np.asarray(res.cv_results["mean_test_score"])
     assert np.isfinite(scores).all()
+
+
+# ------------------------------------------------------- N buckets (r3)
+def test_plan_bucket_seqs_multi_cut():
+    from sign_language_nlp_tpu.training.engine import plan_bucket_seqs
+
+    # Trimodal lengths → two cuts survive:
+    lengths = np.concatenate([np.full(40, 10), np.full(40, 60),
+                              np.full(40, 110)])
+    cuts = plan_bucket_seqs(lengths, seq_len=120,
+                            percentiles=(25.0, 60.0))
+    assert len(cuts) == 2
+    assert cuts[0] < cuts[1] < 120
+    assert all(c % 8 == 0 for c in cuts)
+    # Degenerate percentiles collapse to fewer cuts, not duplicates:
+    cuts2 = plan_bucket_seqs(lengths, seq_len=120,
+                             percentiles=(20.0, 25.0))
+    assert len(cuts2) == len(set(cuts2))
+    # Cuts that save <1/8 of the next bucket up are dropped:
+    assert plan_bucket_seqs(np.full(50, 115), 120, (50.0,)) == ()
+
+
+def test_three_bucket_fit_learns_equivalently():
+    """A trimodal corpus trained with 3 static buckets reaches the same
+    solution as the unbucketed program (same rows, regrouped batches)."""
+    from tests.test_bucketing import _bimodal_data
+
+    rng = np.random.default_rng(3)
+    n, seq, classes = 90, 48, 4
+    y = rng.integers(0, classes, n).astype(np.int32)
+    lengths = np.concatenate([
+        rng.integers(3, 9, n // 3), rng.integers(20, 25, n // 3),
+        rng.integers(40, seq + 1, n - 2 * (n // 3))]).astype(np.int32)
+    tokens = np.full((n, seq), 1, np.int32)
+    for i in range(n):
+        tokens[i, :lengths[i]] = 2 + y[i]
+    labels = (y + 2).astype(np.int32)
+    data = (tokens, lengths, labels)
+    rows = np.arange(n)
+
+    def fit(percentiles):
+        model = build_model("model.EncoderDecoderGRUAttn", 20, 8, 1, 1,
+                            model_args={"embedding_size": 8,
+                                        "hidden_size": 8,
+                                        "num_layers": 1, "dropout": 0.0})
+        cfg = TrainConfig(batch_size=16, max_epochs=6, seed=0, verbose=0,
+                          scoring=("accuracy",),
+                          train_deterministic=True,
+                          length_bucketing=percentiles is not None,
+                          bucket_percentiles=percentiles)
+        trainer = PopulationTrainer(model, 1, 8, cfg)
+        task = TrainTask(train_rows=[rows[: n - 20]],
+                         valid_rows=[rows[n - 20:]],
+                         lr=np.array([0.3], np.float32),
+                         dropout=np.zeros(1, np.float32))
+        out = trainer.fit(data, task)
+        geom = next(iter(trainer._epoch_fn_cache))
+        geom = geom[0] if isinstance(geom, tuple) else geom
+        return out, geom
+
+    out_flat, _ = fit(None)
+    out_3b, geom = fit((33.0, 66.0))
+    assert len(geom.buckets) == 3, geom
+    a = np.asarray(out_flat["history"]["valid_accuracy"])[-1, 0]
+    b = np.asarray(out_3b["history"]["valid_accuracy"])[-1, 0]
+    assert b >= a - 0.1 and b > 0.5, (a, b)
+    # Valid loss lands in the same neighborhood (regrouped batches →
+    # not bit-exact, but the same optimum):
+    la = float(np.asarray(out_flat["history"]["valid_loss"])[-1, 0])
+    lb = float(np.asarray(out_3b["history"]["valid_loss"])[-1, 0])
+    assert abs(la - lb) < 0.35, (la, lb)
