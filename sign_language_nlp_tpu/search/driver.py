@@ -144,7 +144,8 @@ def hbm_budget_bytes(measured: bool = False) -> float:
 def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
                         seq_len: int, batch: int, remat: bool,
                         n_train_batches: float = 1,
-                        family: str = "transformer") -> float:
+                        family: str = "transformer",
+                        act_bytes: float = 4.0) -> float:
     """Empirical f32 HBM ceiling for one grid cell's train epoch: 4x
     params (params + momentum + best-checkpoint + grads), one batch's
     live forward+backward working set, plus a per-train-batch term
@@ -159,7 +160,9 @@ def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
     (DESIGN.md §7). Until the tunnel reports honest memory stats, this
     model is the sizing floor and measured bytes the other bound (the
     planner takes the max). With remat the per-batch term drops to the
-    iteration inputs.
+    iteration inputs. `act_bytes` is the activation byte width — 2
+    under a bfloat16 compute policy (params/momentum stay f32); the
+    f32 default matches the round-2 calibration anchor.
 
     `family` selects per-family algebra (VERDICT r2 weak #2 — the
     transformer formula used to size every family):
@@ -190,7 +193,7 @@ def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
             saved_iter = batch * seq_len * 8.0
         else:
             saved_iter = (batch * seq_len * F * L * 2 * (G + 1)
-                          + batch * seq_len * E) * 4.0
+                          + batch * seq_len * E) * act_bytes
     else:
         params = (src_vocab + tgt_vocab) * E \
             + L * (4 * E * E + 2 * E * F) \
@@ -202,8 +205,8 @@ def estimate_cell_bytes(model_args: dict, src_vocab: int, tgt_vocab: int,
             saved_iter = batch * seq_len * 8.0  # token/idx inputs only
         else:
             saved_iter = (2.0 * batch * seq_len * E * L
-                          + batch * H * seq_len * seq_len * L) * 4.0
-    return (4.0 * (params * 4) + (act + scores) * 4
+                          + batch * H * seq_len * seq_len * L) * act_bytes
+    return (4.0 * (params * 4) + (act + scores) * act_bytes
             + saved_iter * max(float(n_train_batches) - 1.0, 0.0))
 
 
@@ -610,6 +613,13 @@ class GridSearchDriver:
         from ..models.registry import model_family
 
         fam = model_family(self.model_name)
+        # Activation byte width follows the compute policy: bf16 halves
+        # every activation/residual term while params/momentum stay f32
+        # (the round-2 f32 calibration anchor is preserved by the
+        # default).
+        act_bytes = (2.0 if str(self.precision_args.get(
+            "compute_dtype", "")).startswith(("bfloat16", "float16"))
+            else 4.0)
         bsz = max(int(trainer.config.batch_size), 1)
         if pad_rows_to and isinstance(pad_rows_to[0], (tuple, list)):
             # Per-bucket floors: weight each bucket's batch count by its
@@ -629,7 +639,8 @@ class GridSearchDriver:
             n_tb = max(n_corpus // bsz, 1)
         static_cell = estimate_cell_bytes(
             margs, self.src_vocab_size, self.tgt_vocab_size, seq_len,
-            bsz, trainer.config.remat, n_train_batches=n_tb, family=fam)
+            bsz, trainer.config.remat, n_train_batches=n_tb, family=fam,
+            act_bytes=act_bytes)
         pop, pad_to = layout(int(static_budget // max(static_cell, 1.0)))
 
         for attempt in range(3):
@@ -660,7 +671,7 @@ class GridSearchDriver:
                     static_cell = estimate_cell_bytes(
                         margs, self.src_vocab_size, self.tgt_vocab_size,
                         seq_len, bsz, True, n_train_batches=n_tb,
-                        family=fam)
+                        family=fam, act_bytes=act_bytes)
                     if self.verbose:
                         log("  remat enabled for this shape group (one "
                             f"cell measures {per_cell / 1e6:.0f} MB)")

@@ -323,3 +323,17 @@ def test_hbm_budget_fallback_scales_by_device_kind(monkeypatch):
     monkeypatch.setenv("SLNLP_HBM_GB", "8")
     b = drv.hbm_budget_bytes(measured=False)
     assert abs(b - drv._HBM_BUDGET_FALLBACK * (8 / 15.75)) < 1e6
+
+
+def test_estimate_cell_bytes_bf16_halves_activations():
+    """Under a bfloat16 compute policy the activation/residual terms
+    halve while the 4x-params term (f32 params + momentum) stays."""
+    base = dict(embedding_size=128, hidden_size=128, num_layers=2,
+                num_heads=4)
+    f32 = estimate_cell_bytes(base, 600, 100, 120, 50, remat=False,
+                              n_train_batches=31)
+    bf16 = estimate_cell_bytes(base, 600, 100, 120, 50, remat=False,
+                               n_train_batches=31, act_bytes=2.0)
+    assert bf16 < f32
+    # Activation-dominated geometry: the ratio should approach 2x.
+    assert f32 / bf16 > 1.6, (f32, bf16)
