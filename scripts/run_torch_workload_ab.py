@@ -242,6 +242,16 @@ def mode_lstm_convergence(args):
     tokens = np.asarray(ds.tokens)
     lengths = np.asarray(ds.lengths)
     labels_idx = np.asarray(ds.labels_idx)
+    if args.max_rows and args.max_rows < len(labels_idx):
+        # Torch-CPU tractability: a seeded subsample keeps the corpus
+        # distribution while bounding the 200-epoch reference-settings
+        # run (a packed biLSTM over S=120 costs ~30 s/epoch in CPU
+        # torch at full size).
+        sub = np.random.default_rng(args.seed).permutation(
+            len(labels_idx))[: args.max_rows]
+        tokens, lengths = tokens[sub], lengths[sub]
+        labels_idx = labels_idx[sub]
+        log(f"subsampled corpus to {len(labels_idx)} rows")
     vs, vt = len(ds.src_vocab), len(ds.tgt_vocab)
     pad_s, pad_t = ds.src_vocab.pad_index, ds.tgt_vocab.pad_index
     E = H = args.emb
@@ -330,6 +340,8 @@ def main():
     ap.add_argument("--layers", type=int, default=1)
     ap.add_argument("--max-epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--max-rows", type=int, default=0,
+                    help="subsample the corpus (lstm-convergence mode)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform for the engine side "
                          "(e.g. cpu for smoke runs; the axon site "
