@@ -1,0 +1,77 @@
+"""Summarize a (possibly partial) full-grid run from its manifest.
+
+The manifest keys are content-addressed (hash(candidate):fold), so this
+recomputes the reference grid's candidate hashes and joins: per-shape-
+group fit counts, epochs, total attributed fit seconds, and score
+ranges — the per-shape-group breakdown VERDICT r2 #1 asks for, available
+even mid-run or after a preemption.
+
+Run: python scripts/summarize_grid_progress.py [--workdir ...]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="work/full-grid-transformer")
+    args = ap.parse_args()
+
+    from sign_language_nlp_tpu.search.grid import build_param_grid
+    from sign_language_nlp_tpu.utils import get_hash
+
+    grid = build_param_grid({
+        "lr": [0.1, 0.01, 0.001],
+        "model_args": {
+            "embedding_size": [1024, 512, 128],
+            "hidden_size": [512, 256, 128],
+            "num_layers": [6, 4, 2],
+            "dropout": [0.5, 0.1],
+            "num_heads": [8, 4],
+        },
+    })
+    candidates = list(grid.candidates())
+    by_hash = {get_hash(c): c for c in candidates}
+
+    manifest = json.loads(
+        Path(args.workdir, "grid_search_manifest.json").read_text())
+    groups: dict = {}
+    for key, rec in manifest.items():
+        h, _fold = key.rsplit(":", 1)
+        c = by_hash.get(h)
+        if c is None:
+            continue
+        gk = (c["module__embedding_size"], c["module__hidden_size"],
+              c["module__num_layers"], c["module__num_heads"])
+        g = groups.setdefault(gk, {"fits": 0, "fit_s": 0.0,
+                                   "epochs": 0, "best": -1e30})
+        g["fits"] += 1
+        g["fit_s"] += float(rec.get("fit_time", 0.0))
+        g["epochs"] += int(rec.get("epochs", 0))
+        g["best"] = max(g["best"], float(rec["score"]))
+
+    rows = sorted(
+        ({"emb": k[0], "ffn": k[1], "layers": k[2], "heads": k[3],
+          "fits": v["fits"], "fit_s": round(v["fit_s"], 1),
+          "epochs": v["epochs"], "best_score": round(v["best"], 4)}
+         for k, v in groups.items()),
+        key=lambda r: -r["fit_s"])
+    total = {"cells_done": sum(g["fits"] for g in groups.values()),
+             "cells_total": len(candidates) * 5,
+             "groups_started": len(groups), "groups_total": 54,
+             "groups_complete": sum(1 for g in groups.values()
+                                    if g["fits"] == 30),
+             "fit_s_total": round(sum(g["fit_s"]
+                                      for g in groups.values()), 1),
+             "epochs_total": sum(g["epochs"] for g in groups.values())}
+    print(json.dumps({"total": total, "per_group": rows}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
