@@ -116,6 +116,30 @@ def mode_grid(args):
              for ft, _ in folds]
 
     # ---- torch side: sequential cells (the reference's model) -------
+    # `--torch-cache` decouples the two sides so the hours-long
+    # sequential torch baseline can run on CPU while the TPU is busy
+    # (one JAX process at a time — CLAUDE.md): a first run with
+    # `--torch-only` writes the torch numbers, a later run loads them
+    # and executes only the engine side on the device. The per-cell
+    # inits are reconstructed identically from the torch seeds, so the
+    # comparison contract (identical folds + initial weights) holds
+    # across the two processes.
+    cache = Path(args.torch_cache) if args.torch_cache else None
+    if cache is not None and cache.exists():
+        c = json.loads(cache.read_text())
+        t_scores = np.asarray(c["t_scores"])
+        t_test = c["t_test"]
+        torch_grid_wall = c["torch_grid_wall"]
+        torch_refit_wall = c["torch_refit_wall"]
+        t_mean = t_scores.reshape(len(lrs), 5).mean(axis=1)
+        t_best = int(np.argmax(t_mean))
+        log(f"torch side loaded from {cache} (best lr={lrs[t_best]}, "
+            f"grid {torch_grid_wall:.0f}s)")
+        return _engine_side(args, ds, tokens, lengths, labels_idx,
+                            train_rows, test_rows, folds, inner, cells,
+                            lrs, inits_jax, scorer, labels, y_train,
+                            t_scores, t_best, t_test, torch_grid_wall,
+                            torch_refit_wall)
     t0 = time.time()
     t_scores = np.zeros(len(cells))
     for k, (ci, fi) in enumerate(cells):
@@ -155,6 +179,57 @@ def mode_grid(args):
     torch_refit_wall = time.time() - t0
     log(f"torch: best lr={lrs[t_best]} test={t_test} "
         f"grid {torch_grid_wall:.0f}s refit {torch_refit_wall:.0f}s")
+    if cache is not None:
+        cache.write_text(json.dumps({
+            "t_scores": t_scores.tolist(), "t_test": t_test,
+            "torch_grid_wall": round(torch_grid_wall, 1),
+            "torch_refit_wall": round(torch_refit_wall, 1),
+            "emb": args.emb, "max_epochs": args.max_epochs,
+            "corpus": args.corpus, "seed": args.seed}))
+        log(f"torch side cached to {cache}")
+        if args.torch_only:
+            print(json.dumps({"mode": "grid-torch-only",
+                              "torch_best_lr": lrs[t_best],
+                              "torch_test": t_test,
+                              "torch_wall_s": round(
+                                  torch_grid_wall + torch_refit_wall,
+                                  1)}))
+            return None
+
+    return _engine_side(args, ds, tokens, lengths, labels_idx,
+                        train_rows, test_rows, folds, inner, cells,
+                        lrs, inits_jax, scorer, labels, y_train,
+                        t_scores, t_best, t_test, torch_grid_wall,
+                        torch_refit_wall)
+
+
+def _engine_side(args, ds, tokens, lengths, labels_idx, train_rows,
+                 test_rows, folds, inner, cells, lrs, inits_jax,
+                 scorer, labels, y_train, t_scores, t_best, t_test,
+                 torch_grid_wall, torch_refit_wall):
+    """The framework half of mode_grid — one 20-cell population + a
+    refit, scored exactly like the torch side. Split out so a cached
+    torch baseline lets this half run alone on the TPU."""
+    import torch
+
+    from scripts.torch_reference import TorchRNNAttn, copy_rnn_params
+    from sign_language_nlp_tpu.models.registry import build_model
+    from sign_language_nlp_tpu.search.kfold import train_valid_split
+    from sign_language_nlp_tpu.training.engine import (PopulationTrainer,
+                                                       TrainConfig,
+                                                       TrainTask)
+
+    vs, vt = len(ds.src_vocab), len(ds.tgt_vocab)
+    pad_s, pad_t = ds.src_vocab.pad_index, ds.tgt_vocab.pad_index
+    E = H = args.emb
+    L = 1
+    # The refit init is reconstructed from its seed (not carried over
+    # from the torch section) so the cached-baseline path fits from
+    # the SAME weights the torch refit used:
+    torch.manual_seed(999)
+    refit_init = copy_rnn_params(
+        TorchRNNAttn(vs, vt, E, H, L, cell="gru", pad=pad_s,
+                     bos=ds.tgt_vocab.lookup("<bos>")))
 
     # ---- engine side: ONE population of 20 cells --------------------
     import jax
@@ -197,6 +272,7 @@ def mode_grid(args):
 
     # engine refit + test (same init as the torch refit):
     t0 = time.time()
+    itr, iva = train_valid_split(y_train, n_splits=5)
     task_r = TrainTask(train_rows=[train_rows[itr]],
                        valid_rows=[train_rows[iva]],
                        lr=np.asarray([lrs[j_best]], np.float32),
@@ -342,6 +418,13 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--max-rows", type=int, default=0,
                     help="subsample the corpus (lstm-convergence mode)")
+    ap.add_argument("--torch-cache", default=None,
+                    help="JSON path for the torch-side numbers: "
+                         "written after the torch baseline runs, "
+                         "loaded (torch fits skipped) when it exists")
+    ap.add_argument("--torch-only", action="store_true",
+                    help="stop after writing --torch-cache (lets the "
+                         "CPU baseline run while the TPU is busy)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform for the engine side "
                          "(e.g. cpu for smoke runs; the axon site "
