@@ -46,7 +46,22 @@ def main():
     ap.add_argument("--patience", type=int, default=10)
     ap.add_argument("--max-population", type=int, default=32)
     ap.add_argument("--workdir", default="work/full-grid-transformer")
+    ap.add_argument("--emb-subset", default=None,
+                    help="comma list restricting grid embedding_size "
+                         "(e.g. '128,512'): cells are content-addressed "
+                         "in the manifest, so a run over the tiers a "
+                         "partial full-grid already finished replays "
+                         "them instantly and completes refit + test at "
+                         "that scope")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu — the axon "
+                         "site override ignores JAX_PLATFORMS env)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     corpus = Path("work/synth-corpus-lowdiv")
     if not corpus.exists():
@@ -103,6 +118,9 @@ def main():
         "compat_args": {"scan_layers": True, "tgt_input": "bos"},
         "train_args": {"length_bucketing": True},
     }
+    if args.emb_subset:
+        run_args["grid_args"]["model_args"]["embedding_size"] = [
+            int(x) for x in args.emb_subset.split(",")]
     t0 = time.time()
     run(run_args)
     wall = time.time() - t0
