@@ -51,6 +51,42 @@ struct JValue {
   }
 };
 
+// Append the UTF-8 encoding of a code point — matches what Python's
+// json.loads + UTF-8 file write produces, so the TSV stays byte-identical
+// to the Python builder path for non-ASCII \uXXXX escapes.
+void append_utf8(std::string& out, unsigned cp) {
+  if (cp < 0x80) {
+    out += static_cast<char>(cp);
+  } else if (cp < 0x800) {
+    out += static_cast<char>(0xC0 | (cp >> 6));
+    out += static_cast<char>(0x80 | (cp & 0x3F));
+  } else if (cp < 0x10000) {
+    out += static_cast<char>(0xE0 | (cp >> 12));
+    out += static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+    out += static_cast<char>(0x80 | (cp & 0x3F));
+  } else {
+    out += static_cast<char>(0xF0 | (cp >> 18));
+    out += static_cast<char>(0x80 | ((cp >> 12) & 0x3F));
+    out += static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+    out += static_cast<char>(0x80 | (cp & 0x3F));
+  }
+}
+
+// Parse exactly four hex digits at s; returns false if any is not hex.
+bool hex4(const char* s, unsigned& code) {
+  code = 0;
+  for (int i = 0; i < 4; ++i) {
+    char c = s[i];
+    unsigned d;
+    if (c >= '0' && c <= '9') d = c - '0';
+    else if (c >= 'a' && c <= 'f') d = c - 'a' + 10;
+    else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
+    else return false;
+    code = (code << 4) | d;
+  }
+  return true;
+}
+
 struct Parser {
   const char* p;
   const char* end;
@@ -139,12 +175,29 @@ struct Parser {
           case 'r': out += '\r'; break;
           case 'b': out += '\b'; break;
           case 'f': out += '\f'; break;
-          case 'u': {  // \uXXXX → keep ASCII, replace others with '?'
-            if (p + 4 < end) {
-              unsigned code = 0;
-              std::sscanf(p + 1, "%4x", &code);
-              out += (code < 128) ? static_cast<char>(code) : '?';
+          case 'u': {  // \uXXXX → UTF-8 (incl. surrogate pairs)
+            unsigned code = 0;
+            if (p + 4 < end && hex4(p + 1, code)) {
               p += 4;
+              if (code >= 0xD800 && code <= 0xDBFF) {
+                // High surrogate: expect \uDC00-\uDFFF next.
+                unsigned lo = 0;
+                if (p + 6 < end && p[1] == '\\' && p[2] == 'u' &&
+                    hex4(p + 3, lo) && lo >= 0xDC00 && lo <= 0xDFFF) {
+                  append_utf8(out, 0x10000 + ((code - 0xD800) << 10) +
+                                       (lo - 0xDC00));
+                  p += 6;
+                } else {
+                  // Lone high surrogate: Python json keeps it as an
+                  // unencodable str; U+FFFD is the closest byte-level
+                  // stand-in (unreachable for well-formed JSON).
+                  append_utf8(out, 0xFFFD);
+                }
+              } else if (code >= 0xDC00 && code <= 0xDFFF) {
+                append_utf8(out, 0xFFFD);  // lone low surrogate
+              } else {
+                append_utf8(out, code);
+              }
             }
             break;
           }
@@ -225,7 +278,17 @@ std::string abbrev(const JValue* field) {
   if (is_falsy(field)) return "";
   std::string out;
   for (const auto& word : split(value_of(field), '_'))
-    if (!word.empty()) out += word[0];
+    if (!word.empty()) {
+      // First CHARACTER, not first byte: Python's word[0] on a UTF-8
+      // multi-byte lead grabs the whole code point. Lead byte tells the
+      // sequence length; continuation bytes are 0b10xxxxxx.
+      size_t n = 1;
+      unsigned char lead = static_cast<unsigned char>(word[0]);
+      if ((lead & 0xE0) == 0xC0) n = 2;
+      else if ((lead & 0xF0) == 0xE0) n = 3;
+      else if ((lead & 0xF8) == 0xF0) n = 4;
+      out += word.substr(0, std::min(n, word.size()));
+    }
   return out;
 }
 
@@ -243,7 +306,12 @@ std::string compose_token(const JValue& frame,
     switch (strategy) {
       case 0: {  // all_values: value left-aligned to width 20
         std::string v = is_falsy(field) ? "" : value_of(field);
-        v.resize(std::max<size_t>(v.size(), 20), ' ');
+        // Python's f"{v:<20}" pads to 20 CHARACTERS; count code points
+        // (bytes that are not UTF-8 continuation bytes 0b10xxxxxx).
+        size_t chars = 0;
+        for (char c : v)
+          if ((static_cast<unsigned char>(c) & 0xC0) != 0x80) ++chars;
+        if (chars < 20) v.append(20 - chars, ' ');
         parts.push_back(v);
         break;
       }
