@@ -145,12 +145,14 @@ def main():
          for k, v in groups.items()),
         key=lambda r: -r["fit_s"])
     out = json.loads(Path(args.workdir, "test_output.json").read_text())
+    # Test output nested under its own key so a key collision can never
+    # clobber the grid bookkeeping fields (ADVICE r3 #4):
     summary = {"wall_s": round(wall, 1),
-           "max_epochs": args.max_epochs,
-           "patience": args.patience,
-           "n_groups": len(groups),
+               "max_epochs": args.max_epochs,
+               "patience": args.patience,
+               "n_groups": len(groups),
                "n_fits": sum(g["n"] for g in groups.values()),
-               "heaviest_groups": breakdown[:5], **out}
+               "heaviest_groups": breakdown[:5], "test": out}
     Path(args.workdir, "full_grid_summary.json").write_text(
         json.dumps(summary, indent=1))
     print(json.dumps(summary))

@@ -200,8 +200,11 @@ def per_instruction_costs(hlo_text: str | None) -> dict:
         op = rec["op"]
         if op in _ELEMWISE_OPS:
             return float(numel(rec["dims"]))
-        if op in ("dot", "convolution"):
-            # 2 * |out| * prod(lhs contracting sizes)
+        if op == "dot":
+            # 2 * |out| * prod(lhs contracting sizes). (Convolutions
+            # never print lhs_contracting_dims, so they fall through to
+            # the None path like other unhandled ops — this model has no
+            # convs; implement window-based conv FLOPs if one appears.)
             mdims = re.search(r"lhs_contracting_dims=\{([\d,]*)\}",
                               rec["rest"])
             ops = re.findall(r"%([\w.\-]+)", rec["rest"].split("),")[0])

@@ -57,9 +57,13 @@ _VECTOR_KEYS = ("lr", "module__dropout")
 # a loud log line. The static-model fallback stays conservative;
 # sizing from XLA-measured bytes can trust a tighter margin.
 _HBM_GB_BY_KIND = {
-    # substring of jax.devices()[0].device_kind -> usable HBM GB
-    "v5 lite": 15.75, "v5e": 15.75, "v5p": 95.0, "v4": 31.75,
-    "v3": 31.25, "v2": 15.0, "v6": 31.75, "cpu": 15.75,
+    # whole token of jax.devices()[0].device_kind -> usable HBM GB.
+    # Matching is on exact tokens (split on spaces/dashes), not
+    # substrings: 'TPU v4i' (8 GB) must NOT match 'v4' and silently
+    # over-scale the fallback in the unsafe direction (ADVICE r3 #1).
+    "lite": 15.75, "v5e": 15.75, "v5litepod": 15.75, "v5p": 95.0,
+    "v4": 31.75, "v4i": 8.0, "v3": 31.25, "v2": 15.0,
+    "v6e": 31.75, "v6": 31.75, "cpu": 15.75,
 }
 _HBM_BUDGET_FALLBACK = 9e9            # v5e-calibrated static budget
 _HBM_BUDGET_FALLBACK_MEASURED = 13e9  # v5e-calibrated measured budget
@@ -74,9 +78,14 @@ def _fallback_budgets() -> tuple:
         kind = jax.local_devices()[0].device_kind.lower()
     except Exception:  # noqa: BLE001 — no device yet
         kind = ""
-    for sub, gb in _HBM_GB_BY_KIND.items():
-        if sub in kind:
+    tokens = kind.replace("-", " ").split()
+    for tok in tokens:
+        if tok in _HBM_GB_BY_KIND:
+            gb = _HBM_GB_BY_KIND[tok]
             scale = gb / 15.75
+            log(f"hbm_budget: device kind '{kind}' matched token "
+                f"'{tok}' -> {gb} GB (fallback budgets scaled "
+                f"x{scale:.2f})")
             return _HBM_BUDGET_FALLBACK * scale, \
                 _HBM_BUDGET_FALLBACK_MEASURED * scale
     log(f"hbm_budget: no memory stats and unrecognized device kind "
@@ -385,15 +394,25 @@ class GridSearchDriver:
         # work (scheduling policy for preemptible TPUs, SURVEY.md §5).
         from ..models.registry import model_family as _mf
 
+        # Order with the SAME batch-count/dtype terms the planner later
+        # sizes with (ADVICE r3 #3) so "cheapest first" holds even for
+        # shapes dominated by the per-train-batch term. (The planner's
+        # per-bucket weighting is finer, but uses the same scale.)
+        _bsz = max(int(self.train_config.batch_size), 1)
+        _ntb = max(int(np.asarray(data[0]).shape[0]) // _bsz, 1)
+        _ab = (2.0 if str(self.precision_args.get(
+            "compute_dtype", "")).startswith(("bfloat16", "float16"))
+            else 4.0)
+
         def _group_cost(item):
             margs = dict(self.base_model_args)
             margs.update(candidate_to_nested(
                 candidates[item[1][0]])["model_args"])
             return estimate_cell_bytes(
                 margs, self.src_vocab_size, self.tgt_vocab_size,
-                int(np.asarray(data[0]).shape[1]),
-                int(self.train_config.batch_size),
-                self.train_config.remat, family=_mf(self.model_name))
+                int(np.asarray(data[0]).shape[1]), _bsz,
+                self.train_config.remat, n_train_batches=_ntb,
+                family=_mf(self.model_name), act_bytes=_ab)
 
         for key, cand_ids in sorted(groups.items(), key=_group_cost):
             cells = [(ci, fi) for ci in cand_ids for fi in range(n_folds)]

@@ -34,6 +34,10 @@ program:
 Batch order note: the reference's train DataLoader does NOT shuffle
 (helper.py:73-77 sets only collate_fn), so epochs see fixed contiguous
 batches; `shuffle=False` reproduces that, `shuffle=True` is available.
+Shuffling is a host-side permutation re-gathered every epoch, which
+forces one dispatch per epoch: epoch blocking (the 8-epochs-per-dispatch
+amortization, 3.2-3.7x on dispatch-bound fits) self-gates OFF under
+shuffle. Reference workloads never pay this (they never shuffle).
 
 Length bucketing (`TrainConfig.length_bucketing`): the epoch program
 generalizes to a tuple of static sequence buckets — short rows train in
