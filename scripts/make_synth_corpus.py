@@ -40,6 +40,17 @@ def _frame_count(rng, dist: str) -> int:
     if dist == "lognormal":
         v = int(round(rng.lognormvariate(3.35, 0.65)))
         return max(4, min(v, 240))
+    if dist == "trimodal":
+        # Three tight modes (short/medium/long), the multi-modal regime
+        # the N-bucket planner targets (VERDICT r3 weak #5): a single
+        # median cut lands inside the dominant short mode and leaves
+        # the medium mode padding to S_max.
+        r = rng.random()
+        if r < 0.5:
+            return rng.randint(8, 18)
+        if r < 0.8:
+            return rng.randint(52, 68)
+        return rng.randint(100, 120)
     return rng.randint(8, 120)
 
 

@@ -99,14 +99,21 @@ def main():
                                     "num_layers": 1 if args.small else 2})
 
     results = {}
-    for compact in (False, True):
+    # Three arms (VERDICT r3 #6): no compaction, power-of-two buckets
+    # (the round-3 1.99x), and exact mesh-multiple buckets
+    # (compact_granularity=1 — zero padding slots, retrigger gated on
+    # shedding >= 1/8 of the slots).
+    for arm, compact, gran in (("flat", False, None),
+                               ("compact", True, None),
+                               ("compact_exact", True, 1)):
         cfg = TrainConfig(
             batch_size=50, max_epochs=args.max_epochs, verbose=1,
             optimizer_args={"momentum": 0.9},
             gradient_clipping={"gradient_clip_value": 0.5},
             early_stopping={"patience": 10, "threshold": 1e-4},
             lr_scheduler={"factor": 0.2, "patience": 5},
-            compact=compact, keep_best_params=False,
+            compact=compact, compact_granularity=gran,
+            keep_best_params=False,
             length_bucketing=True)
         tr = PopulationTrainer(model, dataset.tgt_vocab.pad_index,
                                len(dataset.tgt_vocab), cfg)
@@ -122,9 +129,9 @@ def main():
             walls.append(time.time() - t0)
         wall = walls[-1]
         epochs = np.asarray(out["epochs_run"])
-        results["compact" if compact else "flat"] = wall
+        results[arm] = wall
         log(json.dumps({
-            "compact": compact, "wall_s": round(wall, 1),
+            "arm": arm, "wall_s": round(wall, 1),
             "cold_wall_s": round(walls[0], 1),
             "epochs_run": epochs.tolist(),
             "stopped": np.asarray(out["monitor"].stopped).tolist()}))
@@ -132,8 +139,10 @@ def main():
     print(json.dumps({
         "metric": "compaction_speedup", "unit": "x",
         "value": round(results["flat"] / results["compact"], 3),
+        "value_exact": round(results["flat"] / results["compact_exact"], 3),
         "flat_s": round(results["flat"], 1),
         "compact_s": round(results["compact"], 1),
+        "compact_exact_s": round(results["compact_exact"], 1),
         "pop": P, "max_epochs": args.max_epochs}))
 
 

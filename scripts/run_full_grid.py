@@ -27,7 +27,16 @@ The workdir is FIXED (not datetime-templated) so a killed run resumes
 from the manifest: rerun the same command (the round-3 kill/resume
 demonstration at scale).
 
+Round 4 extends the harness to the reference's other two workloads
+(VERDICT r3 #3): `--family lstm|gru` runs the 162-candidate × 5-fold
+RNN grids (810 fits, 27 shape groups — reference
+config-enc-dec-lstm-attn.yaml:45-51 / config-enc-dec-gru-attn.yaml
+farmed by the same main.py:77-78 path), and `--corpus
+work/synth-corpus-hard` selects the ring-overlap corpus whose test
+metrics cannot saturate (VERDICT r3 weak #2).
+
 Run:  python scripts/run_full_grid.py [--max-epochs 60]
+      python scripts/run_full_grid.py --family lstm --corpus work/synth-corpus-hard
 """
 from __future__ import annotations
 
@@ -40,12 +49,50 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+FAMILIES = {
+    # model name, grid model_args (reference config-*.yaml:46-53 /
+    # 45-51), default workdir. The RNN grids (VERDICT r3 #3) are
+    # 162 candidates x 5 folds = 810 fits over 27 shape groups —
+    # no num_heads axis (config-enc-dec-lstm-attn.yaml:45-51).
+    "transformer": ("model.Transformer", {
+        "embedding_size": [1024, 512, 128],
+        "hidden_size": [512, 256, 128],
+        "num_layers": [6, 4, 2],
+        "dropout": [0.5, 0.1],
+        "num_heads": [8, 4],
+    }, "work/full-grid-transformer"),
+    "lstm": ("model.EncoderDecoderLSTMAttn", {
+        "embedding_size": [1024, 512, 128],
+        "hidden_size": [512, 256, 128],
+        "num_layers": [6, 4, 2],
+        "dropout": [0.5, 0.1],
+    }, "work/full-grid-lstm"),
+    "gru": ("model.EncoderDecoderGRUAttn", {
+        "embedding_size": [1024, 512, 128],
+        "hidden_size": [512, 256, 128],
+        "num_layers": [6, 4, 2],
+        "dropout": [0.5, 0.1],
+    }, "work/full-grid-gru"),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="transformer",
+                    choices=sorted(FAMILIES))
     ap.add_argument("--max-epochs", type=int, default=40)
     ap.add_argument("--patience", type=int, default=10)
     ap.add_argument("--max-population", type=int, default=32)
-    ap.add_argument("--workdir", default="work/full-grid-transformer")
+    ap.add_argument("--workdir", default=None,
+                    help="default: the family's fixed workdir "
+                         "(fixed => a killed run resumes from its "
+                         "manifest)")
+    ap.add_argument("--corpus", default="work/synth-corpus-lowdiv",
+                    choices=["work/synth-corpus-lowdiv",
+                             "work/synth-corpus-hard"],
+                    help="synth-corpus-hard: ring-overlap variants + "
+                         "15%% frame noise — test metrics cannot "
+                         "saturate at 1.0 (VERDICT r3 weak #2)")
     ap.add_argument("--emb-subset", default=None,
                     help="comma list restricting grid embedding_size "
                          "(e.g. '128,512'): cells are content-addressed "
@@ -57,18 +104,24 @@ def main():
                     help="force a jax platform (e.g. cpu — the axon "
                          "site override ignores JAX_PLATFORMS env)")
     args = ap.parse_args()
+    model_name, grid_model_args, default_workdir = FAMILIES[args.family]
+    if args.workdir is None:
+        args.workdir = default_workdir
 
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
 
-    corpus = Path("work/synth-corpus-lowdiv")
+    corpus = Path(args.corpus)
     if not corpus.exists():
         from scripts.run_reference_scale_group import (
-            make_low_diversity_corpus)
+            make_hard_corpus, make_low_diversity_corpus)
 
-        make_low_diversity_corpus(str(corpus))
+        if corpus.name.endswith("hard"):
+            make_hard_corpus(str(corpus))
+        else:
+            make_low_diversity_corpus(str(corpus))
 
     from scripts.run_reference_scale_group import FIELDS
     from sign_language_nlp_tpu.pipeline import run
@@ -90,21 +143,16 @@ def main():
         "gradient_clipping": {"gradient_clip_value": 0.5},
         "lr_scheduler": {"policy": "ReduceLROnPlateau", "factor": 0.2,
                          "patience": 5},
-        "model": "model.Transformer",
+        "model": model_name,
         "model_args": {},
         "criterion": "torch.nn.CrossEntropyLoss",
         "optimizer": "torch.optim.SGD",
         "optimizer_args": {"nesterov": False, "momentum": 0.9},
-        # The reference grid, verbatim (config-transformer.yaml:46-53):
+        # The reference grid, verbatim (config-transformer.yaml:46-53 /
+        # config-enc-dec-{lstm,gru}-attn.yaml:45-51):
         "grid_args": {
             "lr": [0.1, 0.01, 0.001],
-            "model_args": {
-                "embedding_size": [1024, 512, 128],
-                "hidden_size": [512, 256, 128],
-                "num_layers": [6, 4, 2],
-                "dropout": [0.5, 0.1],
-                "num_heads": [8, 4],
-            },
+            "model_args": dict(grid_model_args),
         },
         "dataset_args": {
             "dataset_dir": str(corpus), "fields": FIELDS,
@@ -130,17 +178,20 @@ def main():
     import csv
 
     groups: dict = {}
+    shape_cols = ["param_module__embedding_size",
+                  "param_module__hidden_size",
+                  "param_module__num_layers"]
+    if args.family == "transformer":
+        shape_cols.append("param_module__num_heads")
     with open(Path(args.workdir, "grid_search_results.csv")) as f:
         for row in csv.DictReader(f):
-            key = (row["param_module__embedding_size"],
-                   row["param_module__hidden_size"],
-                   row["param_module__num_layers"],
-                   row["param_module__num_heads"])
+            key = tuple(row[c] for c in shape_cols)
             g = groups.setdefault(key, {"fit_s": 0.0, "n": 0})
             g["fit_s"] += float(row["mean_fit_time"]) * 5
             g["n"] += 5
+    names = ["emb", "hid", "layers", "heads"][: len(shape_cols)]
     breakdown = sorted(
-        ({"emb": k[0], "ffn": k[1], "layers": k[2], "heads": k[3],
+        ({**dict(zip(names, k)),
           "fit_s": round(v["fit_s"], 1), "fits": v["n"]}
          for k, v in groups.items()),
         key=lambda r: -r["fit_s"])
@@ -148,6 +199,8 @@ def main():
     # Test output nested under its own key so a key collision can never
     # clobber the grid bookkeeping fields (ADVICE r3 #4):
     summary = {"wall_s": round(wall, 1),
+               "family": args.family,
+               "corpus": args.corpus,
                "max_epochs": args.max_epochs,
                "patience": args.patience,
                "n_groups": len(groups),

@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-4 device campaign, in VERDICT priority order. Each stage is
+# resumable (grid stages by manifest) and records a stamp on success so
+# a watchdog relaunch skips finished stages. ONE JAX process at a time
+# (CLAUDE.md): stages run strictly sequentially.
+# Logs: work/r4-campaign.log (driver) + per-stage .out/.log files.
+cd /root/repo
+mkdir -p work/r4-stamps
+LOG=work/r4-campaign.log
+
+run_stage() {
+  local name="$1"; shift
+  if [ -f "work/r4-stamps/$name" ]; then
+    echo "[campaign] skip $name (stamped)" >> $LOG
+    return 0
+  fi
+  echo "[campaign] start $name $(date)" >> $LOG
+  "$@" > "work/r4-$name.out" 2> "work/r4-$name.log"
+  local rc=$?
+  echo "[campaign] end $name rc=$rc $(date)" >> $LOG
+  if [ $rc -eq 0 ]; then
+    touch "work/r4-stamps/$name"
+  fi
+  return $rc
+}
+
+# 1. Finish the transformer grid (manifest resume -> 1,620/1,620) and
+#    its full-scope refit+test (VERDICT #1).
+run_stage grid-transformer python scripts/run_full_grid.py || exit 1
+
+# 2. Short measured A/Bs while the tunnel is warm: exact-bucket
+#    compaction (VERDICT #6) and auto N-bucket planning (VERDICT #7).
+run_stage compact-ab python scripts/run_compaction_ab.py
+run_stage bucket-ab python scripts/run_bucket_ab.py
+
+# 3. One tier at the reference's TRUE budget: emb128, 200/30,
+#    compaction on, hard corpus (VERDICT #2 + weak #2).
+run_stage grid-200-emb128 python scripts/run_full_grid.py \
+  --emb-subset 128 --max-epochs 200 --patience 30 \
+  --workdir work/full-grid-200-emb128 --corpus work/synth-corpus-hard \
+  || exit 1
+
+# 4. The RNN grids at scale on the hard corpus (VERDICT #3).
+run_stage grid-gru python scripts/run_full_grid.py \
+  --family gru --corpus work/synth-corpus-hard || exit 1
+run_stage grid-lstm python scripts/run_full_grid.py \
+  --family lstm --corpus work/synth-corpus-hard || exit 1
+
+echo "[campaign] ALL STAGES DONE $(date)" >> $LOG

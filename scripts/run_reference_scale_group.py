@@ -64,6 +64,53 @@ def make_low_diversity_corpus(out_dir: str, n_classes=100, n_samples=2000,
     print(f"corpus: {n_classes} classes x {per_class} samples -> {out}")
 
 
+def make_hard_corpus(out_dir: str, n_classes=100, n_samples=2000,
+                     seed=1, overlap=2, noise=0.30, len_lo=6,
+                     len_hi=48) -> None:
+    """A corpus whose test metrics CANNOT saturate (VERDICT r3 weak #2:
+    the lowdiv corpus's full-grid E2E hit acc/F1 = 1.0, proving
+    plumbing rather than selection). Same ASL-scale composed-token
+    vocabulary trick as `make_low_diversity_corpus`, but classes sit on
+    a ring over a GLOBAL variant list and neighboring classes share
+    `overlap` of their 3 variants — a sample whose frames all land on
+    shared variants is irreducibly ambiguous — plus `noise` of frames
+    drawn from the global pool (uninformative), at SHORT lengths
+    (len_lo..len_hi — less evidence per sample; a first cut at
+    noise=0.15 / len 8-120 still measured 0.993 test acc). Weak
+    candidates are hurt more than strong ones, so grid selection
+    discriminates."""
+    rng = random.Random(seed)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pool = []
+    for _ in range(n_classes):
+        pool.append({f: {"value": rng.choice(POOLS[f.split("_")[0]])}
+                     for f in FIELDS})
+    per_class = max(2, n_samples // n_classes)
+    for c in range(n_classes):
+        label = f"sign{c:03d}"
+        variants = [pool[(c + k) % n_classes] for k in range(3)]
+        # neighbors c-1/c+1 share `overlap` of these 3 ring slots
+        assert overlap == 2  # ring stride 1 → 2 shared with each side
+        for i in range(per_class):
+            frames = []
+            for _ in range(rng.randint(len_lo, len_hi)):
+                if rng.random() < noise:
+                    frame = dict(rng.choice(pool))
+                else:
+                    frame = dict(rng.choice(variants))
+                if rng.random() < 0.02:  # occasional null
+                    f = rng.choice(FIELDS)
+                    frame = dict(frame)
+                    frame[f] = None
+                frames.append(frame)
+            (out / f"{label}-{i:04d}.json").write_text(
+                json.dumps({"label": label,
+                            "frames": {"phonology": frames}}))
+    print(f"hard corpus: {n_classes} classes x {per_class} samples "
+          f"(overlap {overlap}, noise {noise}) -> {out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-epochs", type=int, default=60)

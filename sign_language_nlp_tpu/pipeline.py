@@ -108,12 +108,16 @@ def _train_config_from_args(args: dict) -> TrainConfig:
         # shed finished cells from the lockstep; shallow fits don't pay
         # the per-bucket recompiles.
         compact=bool(ta.get("compact", int(args["max_epochs"]) >= 100)),
+        compact_granularity=(int(ta["compact_granularity"])
+                             if ta.get("compact_granularity") else None),
         remat=bool(ta.get("remat", False)),
         shuffle=bool(ta.get("shuffle", False)),
         length_bucketing=bool(ta.get("length_bucketing", False)),
         bucket_percentile=float(ta.get("bucket_percentile", 50.0)),
-        bucket_percentiles=(tuple(ta["bucket_percentiles"])
-                            if ta.get("bucket_percentiles") else None),
+        bucket_percentiles=(
+            "auto" if ta.get("bucket_percentiles") == "auto"
+            else tuple(ta["bucket_percentiles"])
+            if ta.get("bucket_percentiles") else None),
     )
 
 

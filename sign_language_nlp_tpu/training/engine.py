@@ -127,6 +127,67 @@ def plan_bucket_seqs(lengths, seq_len: int,
     return tuple(reversed(kept))
 
 
+def plan_bucket_seqs_auto(lengths, seq_len: int, max_buckets: int = 4,
+                          min_gain: float = 0.10) -> tuple:
+    """Pick bucket cuts FROM the corpus length histogram (VERDICT r3
+    weak #5: `bucket_percentiles` was plumbing that nothing selected
+    automatically). Exact DP over 8-aligned boundaries minimizing total
+    padded tokens (sum over buckets of n_rows * S_bucket — the epoch
+    cost terms are ~linear in S); an extra bucket (an extra compiled
+    geometry) is only accepted when it cuts the padded-token total by
+    at least `min_gain` over the best plan with one fewer bucket. The
+    returned cuts then pass the same save-≥1/8-of-the-next-bucket rule
+    `plan_bucket_seqs` enforces. A unimodal tight distribution yields
+    () (no bucketing); a bimodal one yields the valley cut; extra modes
+    earn extra cuts only when they pay."""
+    seq_len = int(seq_len)
+    if seq_len <= 16 or len(lengths) == 0:
+        return ()
+    arr = np.minimum(np.asarray(lengths, np.int64), seq_len)
+    # Candidate boundaries: the 8-aligned round-ups of observed lengths
+    # (any optimal boundary is the round-up of some observed length).
+    bounds = sorted({min(seq_len, max(8, ((int(v) + 7) // 8) * 8))
+                     for v in arr} | {seq_len})
+    srt = np.sort(arr)
+    cum = np.searchsorted(srt, bounds, side="right")  # rows with len<=b
+    nb = len(bounds)
+    last = nb - 1  # bounds[last] == seq_len — every plan ends here
+    # DP: cost[k][i] = min padded tokens covering rows with len <=
+    # bounds[i] using k buckets whose top boundary is exactly bounds[i].
+    inf = float("inf")
+    cost = [[inf] * nb for _ in range(max_buckets + 1)]
+    arg = [[-1] * nb for _ in range(max_buckets + 1)]
+    for i in range(nb):
+        cost[1][i] = float(cum[i]) * bounds[i]
+    for k in range(2, max_buckets + 1):
+        for i in range(k - 1, nb):
+            for j in range(k - 2, i):
+                c = cost[k - 1][j] + float(cum[i] - cum[j]) * bounds[i]
+                if c < cost[k][i]:
+                    cost[k][i] = c
+                    arg[k][i] = j
+    # Accept k buckets only while each extra one pays ≥ min_gain:
+    best_k = 1
+    for k in range(2, max_buckets + 1):
+        if cost[k][last] <= (1.0 - min_gain) * cost[best_k][last]:
+            best_k = k
+    cuts: list = []
+    i, k = last, best_k
+    while k > 1:
+        i = arg[k][i]
+        cuts.append(bounds[i])
+        k -= 1
+    cuts = sorted(cuts)
+    # The shared save-≥1/8-of-the-next-bucket filter, top down:
+    kept: list = []
+    upper = seq_len
+    for s in reversed(cuts):
+        if s < (upper * 7) // 8:
+            kept.append(s)
+            upper = s
+    return tuple(reversed(kept))
+
+
 def _split_rows_by_bucket(rows_list: list, lengths, bucket_seq) -> list:
     """Per-cell row lists → per-bucket per-cell row lists (stable order
     within a bucket). `bucket_seq` is None (1 bucket), an int (2
@@ -238,6 +299,18 @@ class TrainConfig:
     # compile is only worth paying for a long tail (buckets are cached,
     # so later chunks in a grid amortize it).
     compact_min_remaining: int = 20
+    # Compaction bucket granularity (VERDICT r3 weak #4: power-of-two
+    # buckets leave padding slots — ~0.7x of the measured-vs-ceiling
+    # gap in the round-3 A/B). None keeps power-of-two buckets (at most
+    # log2(P) retraces per fit — the safe default through the 1-25 min
+    # axon compile tunnel). An int g sizes buckets as the smallest
+    # multiple of max(g, mesh size) >= n_live — g=1 on a 1-device mesh
+    # is EXACT sizing, zero padding slots — with a retrigger guard: a
+    # smaller bucket is only taken when it sheds >= 1/8 of the current
+    # slots, so a single-cell stop can't force a retrace of its own.
+    # The compile-cache key stays the bucket size (P), so grids whose
+    # populations revisit the same sizes amortize the compiles.
+    compact_granularity: Optional[int] = None
     # Length bucketing: rows whose length fits the short bucket train in
     # a truncated [*, S_short] program — short rows stop paying S_max
     # attention/scan compute. The TPU answer to torch's packed sequences
@@ -258,8 +331,11 @@ class TrainConfig:
     # N-bucket generalization (VERDICT r2 weak #7): when set, one cut
     # per percentile (ascending; the final bucket is always S_max) —
     # e.g. (33.0, 66.0) for three static geometries on a multi-modal
-    # length distribution. None keeps the single bucket_percentile cut.
-    bucket_percentiles: Optional[tuple] = None
+    # length distribution. The string "auto" plans the cuts from the
+    # corpus length histogram instead (plan_bucket_seqs_auto: exact DP
+    # minimizing padded tokens, extra buckets gated on a ≥10% win).
+    # None keeps the single bucket_percentile cut.
+    bucket_percentiles: Optional[object] = None
     # Epoch blocking: once the measured wall of a single-epoch dispatch
     # drops under `epoch_block_threshold_s`, dispatch `epoch_block`
     # epochs as ONE jitted program (lax.scan over the epoch body, RNG
@@ -452,6 +528,9 @@ class PopulationTrainer:
         tuple of cuts (config.bucket_percentiles)."""
         if not self.config.length_bucketing:
             return None
+        if self.config.bucket_percentiles == "auto":
+            cuts = plan_bucket_seqs_auto(lengths, seq_len)
+            return cuts or None
         if self.config.bucket_percentiles:
             cuts = plan_bucket_seqs(lengths, seq_len,
                                     self.config.bucket_percentiles)
@@ -970,7 +1049,19 @@ class PopulationTrainer:
             if (cfg.compact and n_live > 0
                     and epoch - 1 < cfg.max_epochs
                     - cfg.compact_min_remaining):
-                new_P = max(1, 1 << (n_live - 1).bit_length())
+                if cfg.compact_granularity:
+                    # Exact/mesh-multiple buckets (VERDICT r3 #6): pad
+                    # slots cost real epochs; size to the live count at
+                    # granularity g, but only take a bucket that sheds
+                    # >= 1/8 of the current slots (retrace bound).
+                    g = int(cfg.compact_granularity)
+                    if self.mesh is not None:
+                        g = max(g, self.mesh.devices.size)
+                    new_P = max(g, ((n_live + g - 1) // g) * g)
+                    if new_P > P - max(1, P // 8):
+                        new_P = P
+                else:
+                    new_P = max(1, 1 << (n_live - 1).bit_length())
                 if self.mesh is not None:
                     d = self.mesh.devices.size
                     new_P = max(new_P, d)

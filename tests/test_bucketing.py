@@ -257,3 +257,100 @@ def test_three_bucket_fit_learns_equivalently():
     la = float(np.asarray(out_flat["history"]["valid_loss"])[-1, 0])
     lb = float(np.asarray(out_3b["history"]["valid_loss"])[-1, 0])
     assert abs(la - lb) < 0.35, (la, lb)
+
+# ------------------------------------------------- auto planner (r4)
+def test_plan_bucket_seqs_auto_trimodal():
+    from sign_language_nlp_tpu.training.engine import plan_bucket_seqs_auto
+
+    # Three tight modes → two cuts, landed at the modes' round-ups:
+    lengths = np.concatenate([np.full(40, 10), np.full(40, 60),
+                              np.full(40, 110)])
+    cuts = plan_bucket_seqs_auto(lengths, seq_len=120)
+    assert cuts == (16, 64), cuts
+
+
+def test_plan_bucket_seqs_auto_bimodal_beats_median():
+    from sign_language_nlp_tpu.training.engine import (plan_bucket_seq,
+                                                       plan_bucket_seqs_auto)
+
+    # Skewed bimodal: 80% short, 20% long. The median cut lands inside
+    # the short mode; the auto cut lands at the short mode's top edge,
+    # saving strictly more padded tokens.
+    rng = np.random.default_rng(0)
+    lengths = np.concatenate([rng.integers(8, 25, 400),
+                              rng.integers(100, 121, 100)])
+    auto = plan_bucket_seqs_auto(lengths, seq_len=128)
+    assert len(auto) >= 1
+
+    def padded_tokens(cuts):
+        bounds = list(cuts) + [128]
+        tot, lo = 0, 0
+        for hi in bounds:
+            tot += int(((lengths > lo) & (lengths <= hi)).sum()) * hi
+            lo = hi
+        return tot
+
+    median = plan_bucket_seq(lengths, 128, 50.0)
+    assert padded_tokens(auto) <= padded_tokens((median,))
+
+
+def test_plan_bucket_seqs_auto_unimodal_no_cut():
+    from sign_language_nlp_tpu.training.engine import plan_bucket_seqs_auto
+
+    # Uniformly long corpus: no cut can pay ≥10% → ().
+    assert plan_bucket_seqs_auto(np.full(100, 115), 120) == ()
+    # Tiny seq_len guard:
+    assert plan_bucket_seqs_auto(np.array([3, 4]), 16) == ()
+
+
+def test_plan_bucket_seqs_auto_gain_gating():
+    from sign_language_nlp_tpu.training.engine import plan_bucket_seqs_auto
+
+    # A mild second mode that saves <10% must NOT earn a second cut:
+    lengths = np.concatenate([np.full(95, 112), np.full(5, 24)])
+    cuts = plan_bucket_seqs_auto(lengths, seq_len=120)
+    assert len(cuts) <= 1
+
+
+def test_auto_bucket_fit_learns_equivalently():
+    """bucket_percentiles='auto' end-to-end: the planner picks the
+    trimodal cuts itself and the fit reaches the unbucketed solution."""
+    rng = np.random.default_rng(3)
+    n, seq, classes = 90, 48, 4
+    y = rng.integers(0, classes, n).astype(np.int32)
+    lengths = np.concatenate([
+        rng.integers(3, 9, n // 3), rng.integers(20, 25, n // 3),
+        rng.integers(40, seq + 1, n - 2 * (n // 3))]).astype(np.int32)
+    tokens = np.full((n, seq), 1, np.int32)
+    for i in range(n):
+        tokens[i, :lengths[i]] = 2 + y[i]
+    labels = (y + 2).astype(np.int32)
+    data = (tokens, lengths, labels)
+    rows = np.arange(n)
+
+    def fit(percentiles, bucketing):
+        model = build_model("model.EncoderDecoderGRUAttn", 20, 8, 1, 1,
+                            model_args={"embedding_size": 8,
+                                        "hidden_size": 8,
+                                        "num_layers": 1, "dropout": 0.0})
+        cfg = TrainConfig(batch_size=16, max_epochs=6, seed=0, verbose=0,
+                          scoring=("accuracy",),
+                          train_deterministic=True,
+                          length_bucketing=bucketing,
+                          bucket_percentiles=percentiles)
+        trainer = PopulationTrainer(model, 1, 8, cfg)
+        task = TrainTask(train_rows=[rows[: n - 20]],
+                         valid_rows=[rows[n - 20:]],
+                         lr=np.array([0.3], np.float32),
+                         dropout=np.zeros(1, np.float32))
+        out = trainer.fit(data, task)
+        geom = next(iter(trainer._epoch_fn_cache))
+        geom = geom[0] if isinstance(geom, tuple) else geom
+        return out, geom
+
+    out_flat, _ = fit(None, False)
+    out_auto, geom = fit("auto", True)
+    assert len(geom.buckets) >= 2, geom
+    a = np.asarray(out_flat["history"]["valid_accuracy"])[-1, 0]
+    b = np.asarray(out_auto["history"]["valid_accuracy"])[-1, 0]
+    assert b >= a - 0.1 and b > 0.5, (a, b)

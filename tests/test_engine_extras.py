@@ -170,6 +170,48 @@ def test_population_compaction_matches_uncompacted():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_compaction_exact_granularity_matches_flat(capfd):
+    """compact_granularity=1 (exact mesh-multiple buckets, VERDICT r3
+    #6) must keep trajectory equivalence AND actually land on a
+    non-power-of-two slot count: 3 learners among 8 cells compact to
+    exactly 3 slots (pow2 buckets would pay 4)."""
+    data, labels = _toy_data(n=48)
+    rows = np.arange(len(labels))
+    P = 8
+    # 5 cells at lr=0 (flat loss -> stop at patience), 3 learners:
+    lrs = np.array([0.0, 0.3, 0.0, 0.25, 0.0, 0.2, 0.0, 0.0], np.float32)
+
+    def fit(compact, gran, verbose):
+        model = build_model("model.EncoderDecoderGRUAttn", 12, 8, 1, 1,
+                            model_args={"embedding_size": 8,
+                                        "hidden_size": 8,
+                                        "num_layers": 1, "dropout": 0.0})
+        cfg = TrainConfig(batch_size=16, max_epochs=12, seed=0,
+                          verbose=verbose,
+                          early_stopping={"patience": 2,
+                                          "threshold": 1e-4},
+                          scoring=("accuracy",), compact=compact,
+                          compact_granularity=gran,
+                          compact_min_remaining=2,
+                          train_deterministic=True)
+        trainer = PopulationTrainer(model, 1, 8, cfg)
+        task = TrainTask(train_rows=[rows[:32]] * P,
+                         valid_rows=[rows[32:]] * P,
+                         lr=lrs, dropout=np.zeros(P, np.float32))
+        return trainer.fit(data, task)
+
+    a = fit(False, None, 0)
+    b = fit(True, 1, 1)
+    err = capfd.readouterr().err
+    assert "compacted to 3 slots (3 live cells)" in err, err
+    np.testing.assert_array_equal(a["epochs_run"], b["epochs_run"])
+    np.testing.assert_allclose(a["history"]["valid_loss"][-1],
+                               b["history"]["valid_loss"][-1], rtol=1e-5)
+    la, lb = (np.asarray(jax.tree.leaves(a["params"])[0]),
+              np.asarray(jax.tree.leaves(b["params"])[0]))
+    np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-6)
+
+
 def test_epoch_blocking_bit_exact():
     """The k-epoch block program (lax.scan over the epoch body, RNG
     folded in-device) must reproduce the single-epoch host loop
