@@ -60,5 +60,5 @@ ARGUMENTS = [
     Argument('-train', '--train_args', type=dict, default={},
              help='Engine knobs: {"length_bucketing": bool, "remat": '
                   'bool, "compact": bool, "shuffle": bool, '
-                  '"bucket_percentile": float}'),
+                  '"shuffle_device": bool, "bucket_percentile": float}'),
 ]

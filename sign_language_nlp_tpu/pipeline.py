@@ -112,6 +112,7 @@ def _train_config_from_args(args: dict) -> TrainConfig:
                              if ta.get("compact_granularity") else None),
         remat=bool(ta.get("remat", False)),
         shuffle=bool(ta.get("shuffle", False)),
+        shuffle_device=bool(ta.get("shuffle_device", True)),
         length_bucketing=bool(ta.get("length_bucketing", False)),
         bucket_percentile=float(ta.get("bucket_percentile", 50.0)),
         bucket_percentiles=(
