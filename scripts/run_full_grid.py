@@ -103,6 +103,11 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu — the axon "
                          "site override ignores JAX_PLATFORMS env)")
+    ap.add_argument("--compact-granularity", type=int, default=None,
+                    help="compaction bucket granularity (1 = exact "
+                         "sizing, zero padding slots — worth it on "
+                         "long early-stop tails like the 200/30 "
+                         "budget; default power-of-two buckets)")
     args = ap.parse_args()
     model_name, grid_model_args, default_workdir = FAMILIES[args.family]
     if args.workdir is None:
@@ -166,6 +171,9 @@ def main():
         "compat_args": {"scan_layers": True, "tgt_input": "bos"},
         "train_args": {"length_bucketing": True},
     }
+    if args.compact_granularity is not None:
+        run_args["train_args"]["compact_granularity"] = \
+            args.compact_granularity
     if args.emb_subset:
         run_args["grid_args"]["model_args"]["embedding_size"] = [
             int(x) for x in args.emb_subset.split(",")]

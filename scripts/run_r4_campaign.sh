@@ -37,6 +37,7 @@ run_stage bucket-ab python scripts/run_bucket_ab.py
 #    compaction on, hard corpus (VERDICT #2 + weak #2).
 run_stage grid-200-emb128 python scripts/run_full_grid.py \
   --emb-subset 128 --max-epochs 200 --patience 30 \
+  --compact-granularity 1 \
   --workdir work/full-grid-200-emb128 --corpus work/synth-corpus-hard \
   || exit 1
 
