@@ -4,9 +4,12 @@ The manifest keys are content-addressed (hash(candidate):fold), so this
 recomputes the reference grid's candidate hashes and joins: per-shape-
 group fit counts, epochs, total attributed fit seconds, and score
 ranges — the per-shape-group breakdown VERDICT r2 #1 asks for, available
-even mid-run or after a preemption.
+even mid-run or after a preemption. `--family lstm|gru` summarizes the
+reference's RNN workloads (VERDICT r3 #3; 162 candidates × 5 folds,
+27 shape groups — no num_heads axis).
 
 Run: python scripts/summarize_grid_progress.py [--workdir ...]
+     python scripts/summarize_grid_progress.py --family gru
 """
 from __future__ import annotations
 
@@ -19,25 +22,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    from scripts.run_full_grid import FAMILIES
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="work/full-grid-transformer")
+    ap.add_argument("--family", default="transformer",
+                    choices=sorted(FAMILIES))
+    ap.add_argument("--workdir", default=None,
+                    help="default: the family's fixed workdir")
     args = ap.parse_args()
+    _, grid_model_args, default_workdir = FAMILIES[args.family]
+    if args.workdir is None:
+        args.workdir = default_workdir
 
     from sign_language_nlp_tpu.search.grid import build_param_grid
     from sign_language_nlp_tpu.utils import get_hash
 
     grid = build_param_grid({
         "lr": [0.1, 0.01, 0.001],
-        "model_args": {
-            "embedding_size": [1024, 512, 128],
-            "hidden_size": [512, 256, 128],
-            "num_layers": [6, 4, 2],
-            "dropout": [0.5, 0.1],
-            "num_heads": [8, 4],
-        },
+        "model_args": dict(grid_model_args),
     })
     candidates = list(grid.candidates())
     by_hash = {get_hash(c): c for c in candidates}
+    has_heads = "num_heads" in grid_model_args
+    n_groups_total = 54 if has_heads else 27
 
     manifest = json.loads(
         Path(args.workdir, "grid_search_manifest.json").read_text())
@@ -48,7 +55,8 @@ def main():
         if c is None:
             continue
         gk = (c["module__embedding_size"], c["module__hidden_size"],
-              c["module__num_layers"], c["module__num_heads"])
+              c["module__num_layers"],
+              c["module__num_heads"] if has_heads else None)
         g = groups.setdefault(gk, {"fits": 0, "fit_s": 0.0,
                                    "epochs": 0, "best": -1e30})
         g["fits"] += 1
@@ -56,17 +64,23 @@ def main():
         g["epochs"] += int(rec.get("epochs", 0))
         g["best"] = max(g["best"], float(rec["score"]))
 
+    # Fits per complete group: in-group candidates (lr x dropout [x
+    # heads' sibling axes] sharing the shape) x 5 folds.
+    per_group_fits = len(candidates) * 5 // n_groups_total
     rows = sorted(
-        ({"emb": k[0], "ffn": k[1], "layers": k[2], "heads": k[3],
+        ({"emb": k[0], "ffn": k[1], "layers": k[2],
+          **({"heads": k[3]} if has_heads else {}),
           "fits": v["fits"], "fit_s": round(v["fit_s"], 1),
           "epochs": v["epochs"], "best_score": round(v["best"], 4)}
          for k, v in groups.items()),
         key=lambda r: -r["fit_s"])
-    total = {"cells_done": sum(g["fits"] for g in groups.values()),
+    total = {"family": args.family,
+             "cells_done": sum(g["fits"] for g in groups.values()),
              "cells_total": len(candidates) * 5,
-             "groups_started": len(groups), "groups_total": 54,
+             "groups_started": len(groups),
+             "groups_total": n_groups_total,
              "groups_complete": sum(1 for g in groups.values()
-                                    if g["fits"] == 30),
+                                    if g["fits"] == per_group_fits),
              "fit_s_total": round(sum(g["fit_s"]
                                       for g in groups.values()), 1),
              "epochs_total": sum(g["epochs"] for g in groups.values())}
