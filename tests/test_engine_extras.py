@@ -445,6 +445,12 @@ def test_hbm_budget_fallback_scales_by_device_kind(monkeypatch):
     b = drv.hbm_budget_bytes(measured=True)
     assert abs(b - drv._HBM_BUDGET_FALLBACK_MEASURED
                * (31.75 / 15.75)) < 1e6
+    # ADVICE r3 #1: token matching is exact — 'TPU v4i' (8 GB) must
+    # NOT substring-match 'v4' and over-scale in the unsafe direction.
+    FakeDev.device_kind = "TPU v4i"
+    b = drv.hbm_budget_bytes(measured=True)
+    assert abs(b - drv._HBM_BUDGET_FALLBACK_MEASURED
+               * (8.0 / 15.75)) < 1e6
     # env override wins:
     monkeypatch.setenv("SLNLP_HBM_GB", "8")
     b = drv.hbm_budget_bytes(measured=False)
