@@ -24,9 +24,41 @@ run_stage() {
   return $rc
 }
 
+# Refresh GRID_r04.json from whatever manifests exist — called after
+# every stage so evidence lands even if a later stage (or the round)
+# dies mid-campaign.
+snapshot_grid() {
+  python - <<'PYEOF' 2>> $LOG
+import json, subprocess, sys
+out = {}
+for fam in ("transformer", "lstm", "gru"):
+    try:
+        r = subprocess.run(
+            [sys.executable, "scripts/summarize_grid_progress.py",
+             "--family", fam], capture_output=True, text=True, timeout=300)
+        if r.returncode == 0:
+            out[fam] = json.loads(r.stdout)
+    except Exception:
+        pass
+# The 200/30 tier lives in its own workdir:
+try:
+    r = subprocess.run(
+        [sys.executable, "scripts/summarize_grid_progress.py",
+         "--workdir", "work/full-grid-200-emb128"],
+        capture_output=True, text=True, timeout=300)
+    if r.returncode == 0:
+        out["transformer_200_emb128"] = json.loads(r.stdout)
+except Exception:
+    pass
+if out:
+    open("GRID_r04.json", "w").write(json.dumps(out, indent=1))
+PYEOF
+}
+
 # 1. Finish the transformer grid (manifest resume -> 1,620/1,620) and
 #    its full-scope refit+test (VERDICT #1).
 run_stage grid-transformer python scripts/run_full_grid.py || exit 1
+snapshot_grid
 
 # 2. Short measured A/Bs while the tunnel is warm: exact-bucket
 #    compaction (VERDICT #6) and auto N-bucket planning (VERDICT #7).
@@ -40,11 +72,14 @@ run_stage grid-200-emb128 python scripts/run_full_grid.py \
   --compact-granularity 1 \
   --workdir work/full-grid-200-emb128 --corpus work/synth-corpus-hard \
   || exit 1
+snapshot_grid
 
 # 4. The RNN grids at scale on the hard corpus (VERDICT #3).
 run_stage grid-gru python scripts/run_full_grid.py \
   --family gru --corpus work/synth-corpus-hard || exit 1
+snapshot_grid
 run_stage grid-lstm python scripts/run_full_grid.py \
   --family lstm --corpus work/synth-corpus-hard || exit 1
+snapshot_grid
 
 echo "[campaign] ALL STAGES DONE $(date)" >> $LOG
