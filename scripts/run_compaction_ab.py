@@ -38,9 +38,11 @@ def main():
     args = ap.parse_args()
 
     if args.small:
-        import os
+        # Env var alone is ignored (the axon sitecustomize re-forces
+        # the platform at import); config-update is required.
+        import jax
 
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        jax.config.update("jax_platforms", "cpu")
         args.max_epochs = 30
         args.pop = 8
 
