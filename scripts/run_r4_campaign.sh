@@ -40,16 +40,18 @@ for fam in ("transformer", "lstm", "gru"):
             out[fam] = json.loads(r.stdout)
     except Exception:
         pass
-# The 200/30 tier lives in its own workdir:
-try:
-    r = subprocess.run(
-        [sys.executable, "scripts/summarize_grid_progress.py",
-         "--workdir", "work/full-grid-200-emb128"],
-        capture_output=True, text=True, timeout=300)
-    if r.returncode == 0:
-        out["transformer_200_emb128"] = json.loads(r.stdout)
-except Exception:
-    pass
+# Extra transformer workdirs (200/30 tier; hard-corpus full grid):
+for name, wd in (("transformer_200_emb128", "work/full-grid-200-emb128"),
+                 ("transformer_hard", "work/full-grid-transformer-hard")):
+    try:
+        r = subprocess.run(
+            [sys.executable, "scripts/summarize_grid_progress.py",
+             "--workdir", wd],
+            capture_output=True, text=True, timeout=300)
+        if r.returncode == 0:
+            out[name] = json.loads(r.stdout)
+    except Exception:
+        pass
 if out:
     open("GRID_r04.json", "w").write(json.dumps(out, indent=1))
 PYEOF
@@ -80,6 +82,15 @@ run_stage grid-gru python scripts/run_full_grid.py \
 snapshot_grid
 run_stage grid-lstm python scripts/run_full_grid.py \
   --family lstm --corpus work/synth-corpus-hard || exit 1
+snapshot_grid
+
+# 5. Stretch: the FULL 1,620-fit transformer grid on the hard corpus
+#    (S=48 — ~2.5x cheaper per epoch than lowdiv's S=120), so the
+#    full-scope refit+test carries non-trivial metrics (VERDICT r3
+#    weak #2's ideal closure, beyond the lowdiv completion of stage 1).
+run_stage grid-transformer-hard python scripts/run_full_grid.py \
+  --workdir work/full-grid-transformer-hard \
+  --corpus work/synth-corpus-hard || exit 1
 snapshot_grid
 
 echo "[campaign] ALL STAGES DONE $(date)" >> $LOG
