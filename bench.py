@@ -38,6 +38,111 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Scripts that hold the axon tunnel (ONE JAX client at a time — a second
+# client deadlocks in futex waits, CLAUDE.md). All of them are built to
+# be SIGTERM'd and resumed (content-addressed manifests + stage stamps),
+# so the bench — which the round driver runs unconditionally at round
+# end — preempts them rather than deadlocking behind them.
+_TUNNEL_HOLDERS = (
+    "run_full_grid.py", "run_compaction_ab.py", "run_bucket_ab.py",
+    "run_bucketing_ab.py", "run_reference_scale_group.py",
+    "run_full_shape_experiment.py", "run_torch_workload_ab.py",
+    "run_r4_campaign.sh", "wait_tpu_and_run_grid.sh",
+)
+
+
+def _holder_pids():
+    """Specific PIDs of known tunnel-holding scripts (never pattern-kill:
+    we match exact script names against /proc cmdlines and exclude our
+    own process tree)."""
+    me = os.getpid()
+    ancestors = set()
+    pid = me
+    for _ in range(32):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split(")")[-1].split()[1])
+        except Exception:
+            break
+        if pid <= 1:
+            break
+        ancestors.add(pid)
+    out = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        pid = int(entry)
+        if pid == me or pid in ancestors:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
+        except Exception:
+            continue
+        if any(h in cmd for h in _TUNNEL_HOLDERS):
+            out.append((pid, cmd.strip()))
+    return out
+
+
+def _preempt_tunnel_holders():
+    """SIGTERM (then SIGKILL) campaign/grid processes so the bench gets
+    the tunnel. Disable with BENCH_NO_PREEMPT=1. Watchdog/driver shells
+    are killed first so they don't relaunch the work mid-bench."""
+    import signal
+
+    if os.environ.get("BENCH_NO_PREEMPT") == "1":
+        return
+    holders = _holder_pids()
+    if not holders:
+        return
+    holders.sort(key=lambda pc: ("wait_tpu" not in pc[1],
+                                 "campaign" not in pc[1]))
+    for pid, cmd in holders:
+        log(f"bench: preempting tunnel holder pid {pid}: {cmd[:120]}")
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
+            pass
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if not _holder_pids():
+            return
+        time.sleep(3)
+    for pid, _ in _holder_pids():
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            pass
+    time.sleep(2)
+
+
+def _probe_device(wait_s: float) -> bool:
+    """Check the backend comes up (the axon tunnel flaps for hours at a
+    time) in a SUBPROCESS with a timeout, so a wedged tunnel cannot hang
+    the bench itself. Retries until wait_s elapses."""
+    import subprocess
+
+    deadline = time.time() + wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].device_kind)"],
+                capture_output=True, text=True, timeout=240)
+            if r.returncode == 0:
+                log(f"bench: device probe ok ({r.stdout.strip()})")
+                return True
+            log(f"bench: device probe failed (attempt {attempt}): "
+                f"{r.stderr.strip().splitlines()[-1][:200] if r.stderr.strip() else 'rc=' + str(r.returncode)}")
+        except subprocess.TimeoutExpired:
+            log(f"bench: device probe timed out (attempt {attempt})")
+        if time.time() >= deadline:
+            return False
+        time.sleep(min(60, max(5, deadline - time.time())))
+
+
 def make_workload(small: bool):
     rng = np.random.default_rng(0)
     if small:
@@ -60,6 +165,26 @@ def make_workload(small: bool):
 
 
 def main() -> None:
+    small = os.environ.get("BENCH_SMALL") == "1"
+    if small:
+        # Env var alone is ignored (the axon sitecustomize re-forces the
+        # platform at import); config-update is required (CLAUDE.md).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        _preempt_tunnel_holders()
+        if not _probe_device(float(os.environ.get("BENCH_TUNNEL_WAIT_S",
+                                                  "900"))):
+            # Emit a parseable record rather than a stack trace so the
+            # round driver still captures WHY there is no number.
+            print(json.dumps({
+                "metric": "population_speedup", "value": 0.0, "unit": "x",
+                "vs_baseline": 0.0,
+                "error": "axon TPU tunnel unavailable (probe retried "
+                         "until BENCH_TUNNEL_WAIT_S elapsed)"}))
+            return
+
     from sign_language_nlp_tpu.utils.jaxtools import setup_compilation_cache
 
     setup_compilation_cache()
@@ -75,7 +200,6 @@ def main() -> None:
                                                        TrainConfig,
                                                        TrainTask)
 
-    small = os.environ.get("BENCH_SMALL") == "1"
     P = int(os.environ.get("BENCH_POP", 4 if small else 64))
     epochs = int(os.environ.get("BENCH_EPOCHS", 2))
     log(f"device: {jax.devices()[0]}, population={P}, epochs={epochs}, "
