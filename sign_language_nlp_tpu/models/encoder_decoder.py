@@ -86,11 +86,18 @@ class RecurrentLayer(nn.Module):
         b_hh = self.param("b_hh", init, (G * H,))
 
         B, S, _ = x.shape
+        # Compute dtype follows the activations (params stay float32 —
+        # same policy as torch_dense); without the casts the f32 params
+        # promote the cell math to f32 and the scan carry dtype diverges
+        # from its bf16 init under a bfloat16 compute policy.
+        cdt = x.dtype
+        w_ih, b_ih = w_ih.astype(cdt), b_ih.astype(cdt)
+        w_hh, b_hh = w_hh.astype(cdt), b_hh.astype(cdt)
         # Hoist all input projections into one MXU matmul:
-        acc_t = jnp.promote_types(x.dtype, jnp.float32)
+        acc_t = jnp.promote_types(cdt, jnp.float32)
         zx_all = jnp.einsum("bsi,ig->bsg", x, w_ih,
                             preferred_element_type=acc_t
-                            ).astype(x.dtype) + b_ih
+                            ).astype(cdt) + b_ih
 
         zx_t = jnp.moveaxis(zx_all, 1, 0)  # [S,B,G*H]
         valid_t = jnp.moveaxis(valid, 1, 0)  # [S,B]
@@ -104,7 +111,8 @@ class RecurrentLayer(nn.Module):
             def step(carry, inp):
                 zx, v = inp
                 h, c = carry
-                zh = h @ w_hh + b_hh
+                zh = jnp.dot(h, w_hh,
+                             preferred_element_type=acc_t).astype(cdt) + b_hh
                 h_new, c_new = _lstm_combine(zx + zh, h, c)
                 m = v[:, None]
                 carry = (jnp.where(m, h_new, h), jnp.where(m, c_new, c))
@@ -114,7 +122,8 @@ class RecurrentLayer(nn.Module):
 
             def step(carry, inp):
                 zx, v = inp
-                zh = carry @ w_hh + b_hh
+                zh = jnp.dot(carry, w_hh,
+                             preferred_element_type=acc_t).astype(cdt) + b_hh
                 h_new = _gru_combine(zx, zh, carry)
                 carry = jnp.where(v[:, None], h_new, carry)
                 return carry, carry
@@ -178,10 +187,11 @@ class BahdanauAttention(nn.Module):
     @nn.compact
     def __call__(self, query, proj_key, value, valid):
         # query [B,1,H]; proj_key [B,S,H]; value [B,S,2H]; valid [B,S]
-        H = self.hidden_size
-        q = torch_dense(H, H, use_bias=False, name="query_layer")(query)
-        scores = torch_dense(1, H, use_bias=False, name="energy_layer")(
-            jnp.tanh(q + proj_key))  # [B,S,1]
+        H, cdt = self.hidden_size, query.dtype
+        q = torch_dense(H, H, use_bias=False, name="query_layer",
+                        dtype=cdt)(query)
+        scores = torch_dense(1, H, use_bias=False, name="energy_layer",
+                             dtype=cdt)(jnp.tanh(q + proj_key))  # [B,S,1]
         scores = scores[..., 0][:, None, :]  # [B,1,S]
         scores = jnp.where(valid[:, None, :], scores, NEG_INF)
         alphas = jax.nn.softmax(scores, axis=-1)
@@ -211,7 +221,8 @@ class OneStepDecoder(nn.Module):
 
         # Pre-computed attention keys (reference precomputes proj_key
         # once per forward for efficiency, encoder_decoder_attn_bkp.py:243-246).
-        proj_key = torch_dense(H, 2 * H, use_bias=False,
+        cdt = encoder_outputs.dtype
+        proj_key = torch_dense(H, 2 * H, use_bias=False, dtype=cdt,
                                name="attention_key_layer")(encoder_outputs)
 
         # Query = top-layer initial hidden (encoder_decoder_attn_bkp.py:282-285).
@@ -228,9 +239,9 @@ class OneStepDecoder(nn.Module):
             b_ih = self.param(f"l{layer}_b_ih", init, (G * H,))
             w_hh = self.param(f"l{layer}_w_hh", init, (H, G * H))
             b_hh = self.param(f"l{layer}_b_hh", init, (G * H,))
-            h0 = init_hidden[layer]
-            zx = x @ w_ih + b_ih
-            zh = h0 @ w_hh + b_hh
+            h0 = init_hidden[layer].astype(cdt)
+            zx = x @ w_ih.astype(cdt) + b_ih.astype(cdt)
+            zh = h0 @ w_hh.astype(cdt) + b_hh.astype(cdt)
             if self.cell_type == "lstm":
                 # LSTM cell state starts as a copy of the hidden bridge
                 # (encoder_decoder_attn_bkp.py:278-280 quirk).
@@ -250,7 +261,8 @@ class OneStepDecoder(nn.Module):
                       None if deterministic else self.make_rng("dropout"),
                       deterministic)
         pre_output = torch_dense(H, H + 2 * H + self.emb_size,
-                                 use_bias=False, name="pre_output_layer")(pre)
+                                 use_bias=False, dtype=cdt,
+                                 name="pre_output_layer")(pre)
         return pre_output  # [B,1,H]
 
 
@@ -294,7 +306,8 @@ class EncoderDecoderAttnBase(nn.Module):
 
         # Bridge: decoder init hidden = tanh(Linear(enc_hidden)) per layer
         # (encoder_decoder_attn_bkp.py:268-280).
-        bridge = torch_dense(H, 2 * H, use_bias=True, name="bridge")
+        bridge = torch_dense(H, 2 * H, use_bias=True, name="bridge",
+                             dtype=self.dtype)
         init_hidden = jnp.tanh(bridge(enc_hidden))  # [L,B,H]
 
         # Decoder input: embed(<bos>) — which the tgt vocab resolves to
@@ -317,7 +330,7 @@ class EncoderDecoderAttnBase(nn.Module):
         # (encoder_decoder_attn_bkp.py:69-76); take the last (only) step
         # (encoder_decoder_attn_bkp.py:400-402).
         logits = torch_dense(self.tgt_vocab_size, H, use_bias=False,
-                             name="generator")(pre_output)
+                             dtype=self.dtype, name="generator")(pre_output)
         return jax.nn.log_softmax(logits, axis=-1)[:, -1]
 
 

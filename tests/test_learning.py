@@ -52,6 +52,30 @@ def test_bf16_transformer_trains_finite():
     assert np.isfinite(out["history"]["valid_loss"]).all()
 
 
+@pytest.mark.parametrize("name", ["model.EncoderDecoderLSTMAttn",
+                                  "model.EncoderDecoderGRUAttn"])
+def test_bf16_rnn_trains_finite(name):
+    # Regression: under a bfloat16 policy the f32 cell params used to
+    # promote the scan body to f32 while the carry initialized as bf16,
+    # crashing lax.scan on the carry dtype mismatch (caught by the
+    # round-4 CPU smoke of the RNN full-grid harness).
+    data, labels = _toy_data(n=32, seq=8, vocab=12, classes=4)
+    model = build_model(name, 12, 8, 1, 1,
+                        model_args={"embedding_size": 8, "hidden_size": 8,
+                                    "num_layers": 2, "dropout": 0.1},
+                        precision_args={"compute_dtype": "bfloat16"})
+    assert str(model.dtype) == "bfloat16"
+    cfg = TrainConfig(batch_size=16, max_epochs=2, seed=0, verbose=0,
+                      scoring=("accuracy",))
+    trainer = PopulationTrainer(model, 1, 8, cfg)
+    rows = np.arange(len(labels))
+    task = TrainTask(train_rows=[rows[:24]], valid_rows=[rows[24:]],
+                     lr=np.array([0.1], np.float32),
+                     dropout=np.array([0.1], np.float32))
+    out = trainer.fit(data, task)
+    assert np.isfinite(out["history"]["valid_loss"]).all()
+
+
 @pytest.mark.slow
 def test_lstm_learns_toy_task():
     data, labels = _toy_data(n=64, seq=8, vocab=12, classes=4)
