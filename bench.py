@@ -173,14 +173,36 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     else:
-        _preempt_tunnel_holders()
+        # BENCH_NO_PREEMPT=1 lets a manual/guard-test run coexist with
+        # an armed watchdog instead of killing it (round-end runs leave
+        # it unset so bench always wins the single-client tunnel).
+        if os.environ.get("BENCH_NO_PREEMPT") != "1":
+            _preempt_tunnel_holders()
         if not _probe_device(float(os.environ.get("BENCH_TUNNEL_WAIT_S",
                                                   "900"))):
             # Emit a parseable record rather than a stack trace so the
-            # round driver still captures WHY there is no number.
+            # round driver still captures WHY there is no number. Carry
+            # the last harness capture so the record stays quotable.
+            from pathlib import Path
+
+            last_good = None
+            for prev in sorted(Path(__file__).parent.glob("BENCH_r*.json"),
+                               reverse=True):
+                try:
+                    rec = json.loads(prev.read_text())
+                    # Driver records wrap the bench line under "parsed".
+                    rec = rec.get("parsed", rec)
+                    if rec.get("value"):
+                        last_good = {"file": prev.name,
+                                     "value": rec["value"],
+                                     "unit": rec.get("unit"),
+                                     "vs_baseline": rec.get("vs_baseline")}
+                        break
+                except Exception:
+                    continue
             print(json.dumps({
                 "metric": "population_speedup", "value": 0.0, "unit": "x",
-                "vs_baseline": 0.0,
+                "vs_baseline": 0.0, "last_good": last_good,
                 "error": "axon TPU tunnel unavailable (probe retried "
                          "until BENCH_TUNNEL_WAIT_S elapsed)"}))
             return
