@@ -66,6 +66,7 @@ def test_probe_failure_emits_error_json():
     env["JAX_PLATFORMS"] = "nonexistent-backend"
     env["BENCH_TUNNEL_WAIT_S"] = "1"
     env["BENCH_NO_PREEMPT"] = "1"
+    env["BENCH_REARM"] = "0"  # never spawn the real watchdog from CI
     r = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
         timeout=300, env=env, cwd=os.path.dirname(bench.__file__) or ".")
@@ -76,3 +77,29 @@ def test_probe_failure_emits_error_json():
     assert rec["metric"] == "population_speedup"
     assert rec["value"] == 0.0
     assert "tunnel" in rec["error"]
+
+
+def test_rearm_gating(tmp_path, monkeypatch):
+    # BENCH_REARM=0 disables re-arm entirely.
+    monkeypatch.setenv("BENCH_REARM", "0")
+    bench._rearm_watchdog(tmp_path)  # must be a no-op (nothing to spawn)
+    monkeypatch.delenv("BENCH_REARM")
+
+    # No watchdog script under root: no-op.
+    bench._rearm_watchdog(tmp_path)
+
+    # Script present but every campaign stage stamped: skip (no spawn).
+    (tmp_path / "scripts").mkdir()
+    (tmp_path / "scripts" / "wait_tpu_and_run_grid.sh").write_text(
+        "#!/bin/sh\nexit 0\n")
+    stamps = tmp_path / "work" / "r4-stamps"
+    stamps.mkdir(parents=True)
+    for s in bench._CAMPAIGN_STAGES:
+        (stamps / s).touch()
+    spawned = []
+    monkeypatch.setattr(
+        "subprocess.Popen",
+        lambda *a, **k: spawned.append(a) or (_ for _ in ()).throw(
+            AssertionError("must not spawn when fully stamped")))
+    bench._rearm_watchdog(tmp_path)
+    assert not spawned
