@@ -194,8 +194,13 @@ def _rearm_watchdog(root=None) -> None:
         return
     import subprocess
 
+    env = dict(os.environ)
+    # Quiet period before the first probe so the round driver's own
+    # post-bench device checks never race a fresh campaign launch for
+    # the single-client tunnel.
+    env.setdefault("WATCHDOG_DELAY_S", "1200")
     p = subprocess.Popen(
-        ["bash", str(script)], cwd=str(root),
+        ["bash", str(script)], cwd=str(root), env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True)
     try:

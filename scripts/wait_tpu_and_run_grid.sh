@@ -8,6 +8,15 @@
 # (scripts/run_r4_campaign.sh — stage stamps make relaunches skip
 # finished stages).
 cd /root/repo
+# WATCHDOG_DELAY_S: initial quiet period before the first probe. The
+# bench's exit re-arm sets this so the round driver's own post-bench
+# device checks (__graft_entry__ compile check) never race a freshly
+# launched campaign for the single-client tunnel (futex deadlock,
+# CLAUDE.md).
+if [ -n "$WATCHDOG_DELAY_S" ]; then
+  echo "[watchdog] initial delay ${WATCHDOG_DELAY_S}s $(date)" >> work/tpu-probe.log
+  sleep "$WATCHDOG_DELAY_S"
+fi
 for i in $(seq 1 400); do
   if timeout 180 python -c "import jax; d=jax.devices(); print('TPU OK:', d[0].device_kind)" >> work/tpu-probe.log 2>&1; then
     echo "[watchdog] tunnel up after $i probes, launching campaign $(date)" >> work/full-grid-r4.log
