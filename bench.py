@@ -50,11 +50,23 @@ _TUNNEL_HOLDERS = (
     "run_r4_campaign.sh", "wait_tpu_and_run_grid.sh",
 )
 
+# Only processes EXECUTING a holder script are holders. An editor or
+# pager with the script open (vim/less scripts/run_full_grid.py) must
+# never be preempted, so argv[0] must be an interpreter/launcher.
+_HOLDER_LAUNCHERS = frozenset(
+    {"bash", "sh", "dash", "python", "python3", "timeout", "nohup"})
+
+# The watchdog's in-flight device probe child is also a live axon
+# client (`timeout 180 python -c "import jax; d=jax.devices(); ..."`);
+# killing the watchdog shell alone would leave it holding the tunnel
+# for up to 180 s. Identified by its distinctive inline program text.
+_PROBE_SNIPPET = "import jax; d=jax.devices()"
+
 
 def _holder_pids():
     """Specific PIDs of known tunnel-holding scripts (never pattern-kill:
-    we match exact script names against /proc cmdlines and exclude our
-    own process tree)."""
+    we match exact argv tokens against /proc cmdlines, require an
+    interpreter argv[0], and exclude our own process tree)."""
     me = os.getpid()
     ancestors = set()
     pid = me
@@ -76,10 +88,19 @@ def _holder_pids():
             continue
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as f:
-                cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
+                argv = f.read().decode("utf-8", "replace").split("\0")
         except Exception:
             continue
-        if any(h in cmd for h in _TUNNEL_HOLDERS):
+        argv = [a for a in argv if a]
+        if not argv:
+            continue
+        cmd = " ".join(argv)
+        launcher = os.path.basename(argv[0])
+        is_holder = (
+            any(launcher.startswith(l) for l in _HOLDER_LAUNCHERS)
+            and any(os.path.basename(tok) in _TUNNEL_HOLDERS
+                    for tok in argv))
+        if is_holder or _PROBE_SNIPPET in cmd:
             out.append((pid, cmd.strip()))
     return out
 
@@ -164,12 +185,27 @@ def make_workload(small: bool):
     return (tokens, lengths, labels), vs, vt, margs
 
 
-# The campaign's stage stamps (scripts/run_r4_campaign.sh) — when any is
-# missing, device work remains and the watchdog is worth re-arming after
-# the round-end capture so stages resume during inter-round idle time.
-_CAMPAIGN_STAGES = ("grid-transformer", "compact-ab", "bucket-ab",
-                    "grid-200-emb128", "grid-gru", "grid-lstm",
-                    "grid-transformer-hard")
+# The campaign's stage stamps — parsed from scripts/run_r4_campaign.sh
+# (`run_stage <name> ...` lines) so a stage added there is automatically
+# covered by the re-arm check; the literal is only a fallback for a
+# missing/unreadable script. When any stamp is missing, device work
+# remains and the watchdog is worth re-arming after the round-end
+# capture so stages resume during inter-round idle time.
+_CAMPAIGN_STAGES_FALLBACK = (
+    "grid-transformer", "compact-ab", "bucket-ab", "grid-200-emb128",
+    "grid-gru", "grid-lstm", "grid-transformer-hard")
+
+
+def _campaign_stages(root):
+    import re
+
+    script = root / "scripts" / "run_r4_campaign.sh"
+    try:
+        names = re.findall(r"^run_stage\s+([\w-]+)", script.read_text(),
+                           re.MULTILINE)
+    except OSError:
+        names = []
+    return tuple(names) or _CAMPAIGN_STAGES_FALLBACK
 
 
 def _rearm_watchdog(root=None) -> None:
@@ -186,11 +222,16 @@ def _rearm_watchdog(root=None) -> None:
     if not script.exists():
         return
     stamps = root / "work" / "r4-stamps"
-    if all((stamps / s).exists() for s in _CAMPAIGN_STAGES):
+    if all((stamps / s).exists() for s in _campaign_stages(root)):
         log("bench: campaign fully stamped - no watchdog re-arm needed")
         return
-    if any("wait_tpu_and_run_grid.sh" in cmd for _, cmd in _holder_pids()):
-        log("bench: watchdog already running - not re-arming")
+    # ANY live holder (watchdog, campaign, manual grid/AB run) means the
+    # tunnel is spoken for — arming a second client would violate the
+    # one-JAX-client rule (futex deadlock, CLAUDE.md).
+    holders = _holder_pids()
+    if holders:
+        log(f"bench: tunnel holder already running - not re-arming "
+            f"({holders[0][1][:80]})")
         return
     import subprocess
 

@@ -197,7 +197,9 @@ def main():
             g = groups.setdefault(key, {"fit_s": 0.0, "n": 0})
             g["fit_s"] += float(row["mean_fit_time"]) * 5
             g["n"] += 5
-    names = ["emb", "hid", "layers", "heads"][: len(shape_cols)]
+    # Key names match summarize_grid_progress.py / GRID_r0N.json rows
+    # ("ffn" for hidden_size) so the artifacts join cleanly.
+    names = ["emb", "ffn", "layers", "heads"][: len(shape_cols)]
     breakdown = sorted(
         ({**dict(zip(names, k)),
           "fit_s": round(v["fit_s"], 1), "fits": v["n"]}

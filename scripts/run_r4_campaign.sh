@@ -15,7 +15,11 @@ run_stage() {
     return 0
   fi
   echo "[campaign] start $name $(date)" >> $LOG
-  "$@" > "work/r4-$name.out" 2> "work/r4-$name.log"
+  # Append + attempt header: a watchdog relaunch must never wipe the
+  # failed attempt's logs (they are the INTERNAL-failure evidence).
+  echo "=== attempt $(date) ===" >> "work/r4-$name.out"
+  echo "=== attempt $(date) ===" >> "work/r4-$name.log"
+  "$@" >> "work/r4-$name.out" 2>> "work/r4-$name.log"
   local rc=$?
   echo "[campaign] end $name rc=$rc $(date)" >> $LOG
   if [ $rc -eq 0 ]; then
@@ -40,13 +44,17 @@ for fam in ("transformer", "lstm", "gru"):
             out[fam] = json.loads(r.stdout)
     except Exception:
         pass
-# Extra transformer workdirs (200/30 tier; hard-corpus full grid):
-for name, wd in (("transformer_200_emb128", "work/full-grid-200-emb128"),
-                 ("transformer_hard", "work/full-grid-transformer-hard")):
+# Extra transformer workdirs (200/30 tier; hard-corpus full grid).
+# The emb128 tier passes its --emb-subset so totals reflect the
+# restricted 540-fit / 18-group scope, not the full 1,620-fit grid.
+for name, wd, extra in (
+        ("transformer_200_emb128", "work/full-grid-200-emb128",
+         ["--emb-subset", "128"]),
+        ("transformer_hard", "work/full-grid-transformer-hard", [])):
     try:
         r = subprocess.run(
             [sys.executable, "scripts/summarize_grid_progress.py",
-             "--workdir", wd],
+             "--workdir", wd] + extra,
             capture_output=True, text=True, timeout=300)
         if r.returncode == 0:
             out[name] = json.loads(r.stdout)

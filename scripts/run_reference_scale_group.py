@@ -79,19 +79,24 @@ def make_hard_corpus(out_dir: str, n_classes=100, n_samples=2000,
     noise=0.15 / len 8-120 still measured 0.993 test acc). Weak
     candidates are hurt more than strong ones, so grid selection
     discriminates."""
+    if overlap not in (0, 1, 2):
+        raise ValueError(f"overlap must be 0, 1 or 2 (got {overlap})")
+    # Ring stride: class c's 3 variants sit at pool slots
+    # c*stride .. c*stride+2, so adjacent classes share (3 - stride)
+    # slots. stride=1 (overlap=2, the default) reproduces the original
+    # construction byte-for-byte; overlap=0 gives disjoint classes.
+    stride = 3 - overlap
     rng = random.Random(seed)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     pool = []
-    for _ in range(n_classes):
+    for _ in range(n_classes * stride):
         pool.append({f: {"value": rng.choice(POOLS[f.split("_")[0]])}
                      for f in FIELDS})
     per_class = max(2, n_samples // n_classes)
     for c in range(n_classes):
         label = f"sign{c:03d}"
-        variants = [pool[(c + k) % n_classes] for k in range(3)]
-        # neighbors c-1/c+1 share `overlap` of these 3 ring slots
-        assert overlap == 2  # ring stride 1 → 2 shared with each side
+        variants = [pool[(c * stride + k) % len(pool)] for k in range(3)]
         for i in range(per_class):
             frames = []
             for _ in range(rng.randint(len_lo, len_hi)):

@@ -29,6 +29,10 @@ def main():
                     choices=sorted(FAMILIES))
     ap.add_argument("--workdir", default=None,
                     help="default: the family's fixed workdir")
+    ap.add_argument("--emb-subset", default=None,
+                    help="comma list of embedding sizes the run was "
+                         "restricted to (mirrors run_full_grid.py) — "
+                         "totals then reflect the restricted scope")
     args = ap.parse_args()
     _, grid_model_args, default_workdir = FAMILIES[args.family]
     if args.workdir is None:
@@ -37,14 +41,22 @@ def main():
     from sign_language_nlp_tpu.search.grid import build_param_grid
     from sign_language_nlp_tpu.utils import get_hash
 
+    grid_model_args = dict(grid_model_args)
+    if args.emb_subset:
+        grid_model_args["embedding_size"] = [
+            int(x) for x in args.emb_subset.split(",")]
     grid = build_param_grid({
         "lr": [0.1, 0.01, 0.001],
-        "model_args": dict(grid_model_args),
+        "model_args": grid_model_args,
     })
     candidates = list(grid.candidates())
     by_hash = {get_hash(c): c for c in candidates}
     has_heads = "num_heads" in grid_model_args
-    n_groups_total = 54 if has_heads else 27
+    n_shape_axes = len(grid_model_args["embedding_size"]) * \
+        len(grid_model_args["hidden_size"]) * \
+        len(grid_model_args["num_layers"])
+    n_groups_total = n_shape_axes * (
+        len(grid_model_args["num_heads"]) if has_heads else 1)
 
     manifest = json.loads(
         Path(args.workdir, "grid_search_manifest.json").read_text())

@@ -94,7 +94,9 @@ def test_rearm_gating(tmp_path, monkeypatch):
         "#!/bin/sh\nexit 0\n")
     stamps = tmp_path / "work" / "r4-stamps"
     stamps.mkdir(parents=True)
-    for s in bench._CAMPAIGN_STAGES:
+    # No campaign script under tmp_path -> the fallback stage list is
+    # what _rearm_watchdog checks against.
+    for s in bench._CAMPAIGN_STAGES_FALLBACK:
         (stamps / s).touch()
     spawned = []
     monkeypatch.setattr(
