@@ -469,3 +469,50 @@ def test_estimate_cell_bytes_bf16_halves_activations():
     assert bf16 < f32
     # Activation-dominated geometry: the ratio should approach 2x.
     assert f32 / bf16 > 1.6, (f32, bf16)
+
+
+def test_compaction_on_mesh_matches_single_device(capfd):
+    """Compaction UNDER A MESH: new_P rounds up to a device-count
+    multiple and the take0-reshard path (params/opt_state/rows gathered
+    then re-sharded across the mesh) must keep trajectory equivalence
+    with the single-device run. 16 cells on the 8-device mesh, 12
+    early-stop -> compact to 8 slots (device multiple), never below."""
+    from sign_language_nlp_tpu.parallel import build_mesh
+
+    data, labels = _toy_data(n=48)
+    rows = np.arange(len(labels))
+    P = 16
+    lrs = np.zeros(P, np.float32)
+    lrs[[1, 5, 9, 13]] = [0.3, 0.25, 0.2, 0.3]  # 4 learners, 12 flat
+
+    def fit(mesh, compact, verbose=0):
+        model = build_model("model.EncoderDecoderGRUAttn", 12, 8, 1, 1,
+                            model_args={"embedding_size": 8,
+                                        "hidden_size": 8,
+                                        "num_layers": 1, "dropout": 0.0})
+        cfg = TrainConfig(batch_size=16, max_epochs=12, seed=0,
+                          verbose=verbose,
+                          early_stopping={"patience": 2,
+                                          "threshold": 1e-4},
+                          scoring=("accuracy",), compact=compact,
+                          compact_granularity=1 if compact else None,
+                          compact_min_remaining=2,
+                          train_deterministic=True)
+        trainer = PopulationTrainer(model, 1, 8, cfg, mesh=mesh)
+        task = TrainTask(train_rows=[rows[:32]] * P,
+                         valid_rows=[rows[32:]] * P,
+                         lr=lrs, dropout=np.zeros(P, np.float32))
+        return trainer.fit(data, task)
+
+    a = fit(None, False)                      # single device, flat
+    b = fit(build_mesh({}), True, verbose=1)  # 8-dev mesh, compacting
+    err = capfd.readouterr().err
+    # granularity=1 is raised to the mesh size: 4 live cells still pay
+    # 8 slots (device multiple), not 4:
+    assert "compacted to 8 slots (4 live cells)" in err, err
+    np.testing.assert_array_equal(a["epochs_run"], b["epochs_run"])
+    np.testing.assert_allclose(a["history"]["valid_loss"][-1],
+                               b["history"]["valid_loss"][-1], rtol=1e-5)
+    la, lb = (np.asarray(jax.tree.leaves(a["params"])[0]),
+              np.asarray(jax.tree.leaves(b["params"])[0]))
+    np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-6)
