@@ -516,3 +516,39 @@ def test_compaction_on_mesh_matches_single_device(capfd):
     la, lb = (np.asarray(jax.tree.leaves(a["params"])[0]),
               np.asarray(jax.tree.leaves(b["params"])[0]))
     np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-6)
+
+
+def test_compaction_invariant_under_device_shuffle():
+    """The in-program shuffle stream folds on per-cell seed ids, so it
+    must be invariant to compaction repacking: a shuffled compacting
+    run reproduces the shuffled flat run cell for cell."""
+    data, labels = _toy_data(n=48)
+    rows = np.arange(len(labels))
+    P = 8
+    lrs = np.array([0.0, 0.3, 0.0, 0.25, 0.0, 0.2, 0.0, 0.0], np.float32)
+
+    def fit(compact):
+        model = build_model("model.EncoderDecoderGRUAttn", 12, 8, 1, 1,
+                            model_args={"embedding_size": 8,
+                                        "hidden_size": 8,
+                                        "num_layers": 1, "dropout": 0.0})
+        cfg = TrainConfig(batch_size=16, max_epochs=12, seed=0, verbose=0,
+                          early_stopping={"patience": 2,
+                                          "threshold": 1e-4},
+                          scoring=("accuracy",), compact=compact,
+                          compact_granularity=1 if compact else None,
+                          compact_min_remaining=2, shuffle=True,
+                          train_deterministic=True)
+        trainer = PopulationTrainer(model, 1, 8, cfg)
+        task = TrainTask(train_rows=[rows[:32]] * P,
+                         valid_rows=[rows[32:]] * P,
+                         lr=lrs, dropout=np.zeros(P, np.float32))
+        return trainer.fit(data, task)
+
+    a, b = fit(False), fit(True)
+    np.testing.assert_array_equal(a["epochs_run"], b["epochs_run"])
+    np.testing.assert_allclose(a["history"]["valid_loss"][-1],
+                               b["history"]["valid_loss"][-1], rtol=1e-5)
+    la, lb = (np.asarray(jax.tree.leaves(a["params"])[0]),
+              np.asarray(jax.tree.leaves(b["params"])[0]))
+    np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-6)
