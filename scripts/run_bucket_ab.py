@@ -40,12 +40,18 @@ def main():
     ap.add_argument("--pop", type=int, default=16)
     ap.add_argument("--max-epochs", type=int, default=30)
     ap.add_argument("--model", default="gru")
+    ap.add_argument("--platform", default=None, choices=("cpu",),
+                    help="force the CPU platform at full scale (a "
+                         "tunnel-down fallback measurement; env vars "
+                         "alone are overridden by the axon "
+                         "sitecustomize)")
     args = ap.parse_args()
 
-    if args.small:
+    if args.small or args.platform == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.small:
         args.max_epochs = 6
         args.pop = 4
 
