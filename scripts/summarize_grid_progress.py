@@ -58,8 +58,12 @@ def main():
     n_groups_total = n_shape_axes * (
         len(grid_model_args["num_heads"]) if has_heads else 1)
 
-    manifest = json.loads(
-        Path(args.workdir, "grid_search_manifest.json").read_text())
+    # A missing manifest is a stage that has not started: emit a
+    # zero-progress summary (so GRID_r0N.json shows the planned scope)
+    # instead of crashing the campaign's snapshot step.
+    manifest_path = Path(args.workdir, "grid_search_manifest.json")
+    manifest = (json.loads(manifest_path.read_text())
+                if manifest_path.exists() else {})
     groups: dict = {}
     for key, rec in manifest.items():
         h, _fold = key.rsplit(":", 1)
