@@ -126,8 +126,18 @@ def _preempt_tunnel_holders():
             pass
     deadline = time.time() + 120
     while time.time() < deadline:
-        if not _holder_pids():
+        survivors = _holder_pids()
+        if not survivors:
             return
+        # Re-send SIGTERM each poll: a holder that appeared between the
+        # initial scan and the kills (e.g. a probe child the watchdog
+        # spawned in that window) would otherwise sit unsignalled until
+        # the SIGKILL fallback.
+        for pid, _ in survivors:
+            try:
+                os.kill(pid, signal.SIGTERM)
+            except OSError:
+                pass
         time.sleep(3)
     for pid, _ in _holder_pids():
         try:

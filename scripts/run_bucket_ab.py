@@ -136,8 +136,12 @@ def main():
                         "cold_wall_s": round(walls[0], 1),
                         "mean_valid_acc": accs[arm]}))
 
+    import jax
+
+    dev = jax.devices()[0]
     print(json.dumps({
         "metric": "auto_bucket_speedup_vs_median", "unit": "x",
+        "platform": dev.platform, "device_kind": dev.device_kind,
         "value": round(results["median"] / results["auto"], 3),
         "speedup_vs_flat": round(results["flat"] / results["auto"], 3),
         "median_vs_flat": round(results["flat"] / results["median"], 3),

@@ -59,6 +59,8 @@ ARGUMENTS = [
              help='Reference-quirk compatibility flags (see models/)'),
     Argument('-train', '--train_args', type=dict, default={},
              help='Engine knobs: {"length_bucketing": bool, "remat": '
-                  'bool, "compact": bool, "shuffle": bool, '
-                  '"shuffle_device": bool, "bucket_percentile": float}'),
+                  'bool, "compact": bool, "compact_granularity": int, '
+                  '"shuffle": bool, "shuffle_device": bool, '
+                  '"bucket_percentile": float, '
+                  '"bucket_percentiles": [float, ...] | "auto"}'),
 ]

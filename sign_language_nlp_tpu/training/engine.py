@@ -188,11 +188,17 @@ def plan_bucket_seqs_auto(lengths, seq_len: int, max_buckets: int = 4,
                 if c < cost[k][i]:
                     cost[k][i] = c
                     arg[k][i] = j
-    # Accept k buckets only while each extra one pays ≥ min_gain:
+    # Accept k buckets only while EACH extra one pays ≥ min_gain over
+    # the plan with one fewer bucket (marginal, not total-vs-accepted:
+    # an extra bucket is an extra compiled geometry — 1-25 min per new
+    # program shape on axon — so a bucket that rides an earlier
+    # bucket's total gain without paying its own must not slip in):
     best_k = 1
     for k in range(2, max_buckets + 1):
-        if cost[k][last] <= (1.0 - min_gain) * cost[best_k][last]:
+        if cost[k][last] <= (1.0 - min_gain) * cost[k - 1][last]:
             best_k = k
+        else:
+            break
     cuts: list = []
     i, k = last, best_k
     while k > 1:

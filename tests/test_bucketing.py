@@ -312,6 +312,20 @@ def test_plan_bucket_seqs_auto_gain_gating():
     assert len(cuts) <= 1
 
 
+def test_plan_bucket_seqs_auto_gain_is_marginal_per_bucket():
+    from sign_language_nlp_tpu.training.engine import plan_bucket_seqs_auto
+
+    # The gate is MARGINAL: each extra bucket must pay >=10% over the
+    # plan with one fewer bucket. Here every 2-bucket plan saves <10%
+    # (cut@88: 472/512 = 7.8%; cut@104: 464/512 = 9.4%) while the
+    # 3-bucket plan (88, 104) saves 12.5% TOTAL — riding the combined
+    # gain of two individually-unjustified geometries. A total-gain
+    # gate would accept (88, 104); the marginal rule must reject both.
+    lengths = np.concatenate(
+        [np.full(100, 88), np.full(100, 104), np.full(200, 128)])
+    assert plan_bucket_seqs_auto(lengths, seq_len=128) == ()
+
+
 def test_auto_bucket_fit_learns_equivalently():
     """bucket_percentiles='auto' end-to-end: the planner picks the
     trimodal cuts itself and the fit reaches the unbucketed solution."""
