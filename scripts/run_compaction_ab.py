@@ -35,14 +35,26 @@ def main():
     ap.add_argument("--pop", type=int, default=16)
     ap.add_argument("--max-epochs", type=int, default=120)
     ap.add_argument("--model", default="gru")
+    ap.add_argument("--platform", default=None, choices=("cpu",),
+                    help="force the CPU platform at the full population "
+                    "mix (tunnel-down fallback). The compaction ratio is "
+                    "slot accounting — it depends on the pop-16 staggered "
+                    "mix and the 120-epoch tail, not on emb width — so "
+                    "pair with --emb/--corpus-rows to fit one CPU core.")
+    ap.add_argument("--emb", type=int, default=None,
+                    help="override embedding/hidden size (default 128, "
+                    "16 with --small)")
+    ap.add_argument("--corpus-rows", type=int, default=None,
+                    help="subsample the corpus to this many rows")
     args = ap.parse_args()
 
-    if args.small:
+    if args.small or args.platform == "cpu":
         # Env var alone is ignored (the axon sitecustomize re-forces
         # the platform at import); config-update is required.
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.small:
         args.max_epochs = 30
         args.pop = 8
 
@@ -74,6 +86,10 @@ def main():
     tokens = np.asarray(dataset.tokens)
     lengths = np.asarray(dataset.lengths)
     labels = np.asarray(dataset.labels_idx)
+    if args.corpus_rows and args.corpus_rows < len(labels):
+        sub = np.random.default_rng(7).permutation(
+            len(labels))[:args.corpus_rows]
+        tokens, lengths, labels = tokens[sub], lengths[sub], labels[sub]
     N = len(labels)
     P = args.pop
 
@@ -91,7 +107,7 @@ def main():
         np.geomspace(0.08, 0.3, P - n_slow),
         np.full(n_slow, 1e-4)]).astype(np.float32)
 
-    emb = 16 if args.small else 128
+    emb = args.emb or (16 if args.small else 128)
     model = build_model(args.model, len(dataset.src_vocab),
                         len(dataset.tgt_vocab),
                         dataset.src_vocab.pad_index,
@@ -138,6 +154,9 @@ def main():
             "epochs_run": epochs.tolist(),
             "stopped": np.asarray(out["monitor"].stopped).tolist()}))
 
+    import jax
+
+    dev = jax.devices()[0]
     print(json.dumps({
         "metric": "compaction_speedup", "unit": "x",
         "value": round(results["flat"] / results["compact"], 3),
@@ -145,7 +164,9 @@ def main():
         "flat_s": round(results["flat"], 1),
         "compact_s": round(results["compact"], 1),
         "compact_exact_s": round(results["compact_exact"], 1),
-        "pop": P, "max_epochs": args.max_epochs}))
+        "pop": P, "max_epochs": args.max_epochs, "emb": emb,
+        "corpus_rows": N, "platform": dev.platform,
+        "device_kind": dev.device_kind}))
 
 
 if __name__ == "__main__":

@@ -145,6 +145,22 @@ def build_driver(args: dict, dataset: AslDataset,
     )
 
 
+def apply_precision_globals(precision_args: dict | None) -> None:
+    """Process-global numeric knobs from `precision_args`.
+
+    `prng_impl: rbg` routes dropout-bit generation through the TPU
+    hardware RNG: measured ~10% step-time saving over the default
+    threefry on the bench workload (DESIGN.md §6b; bench.py enables it
+    the same way). Off by default: it changes the dropout bitstream,
+    so a mid-grid manifest must never flip it between resumes.
+    """
+    prng_impl = (precision_args or {}).get("prng_impl")
+    if prng_impl:
+        import jax
+
+        jax.config.update("jax_default_prng_impl", str(prng_impl))
+
+
 def run(args: dict) -> dict:
     """The full experiment (reference main.py:12-59)."""
     seed = int(args["seed"])
@@ -158,6 +174,8 @@ def run(args: dict) -> dict:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+
+    apply_precision_globals(args.get("precision_args"))
 
     dataset = AslDataset.build(dataset_args=args["dataset_args"],
                                batch_first=True).stoi()

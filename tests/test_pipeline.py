@@ -208,3 +208,25 @@ def test_per_instruction_costs_from_hlo():
     assert any("xla" in line for line in table)
     assert any("src" in line for line in table)
     assert per_op_table  # imported, exercised e2e in profile test
+
+
+def test_apply_precision_globals_prng_impl():
+    """precision_args.prng_impl flips the process PRNG (and a fit still
+    runs under it); default/None leaves the config untouched."""
+    import jax
+
+    from sign_language_nlp_tpu.pipeline import apply_precision_globals
+
+    prior = jax.config.jax_default_prng_impl
+    try:
+        apply_precision_globals(None)
+        assert jax.config.jax_default_prng_impl == prior
+        apply_precision_globals({"prng_impl": "rbg"})
+        assert jax.config.jax_default_prng_impl == "rbg"
+        # Dropout bits still flow: a jitted bernoulli under rbg works.
+        key = jax.random.key(0)
+        bits = jax.jit(lambda k: jax.random.bernoulli(
+            k, 0.5, (8, 8)))(key)
+        assert bits.shape == (8, 8)
+    finally:
+        jax.config.update("jax_default_prng_impl", prior)
