@@ -8,6 +8,20 @@ cd /root/repo
 mkdir -p work/r4-stamps
 LOG=work/r4-campaign.log
 
+# Tunnel-down CPU fallback A/Bs (run_compaction_ab / run_bucket_ab on
+# the CPU platform) load the single host core; a concurrent TPU grid
+# pays ~20x between-chunk host overhead (round-3 measured 3.2 s ->
+# ~60 s/chunk with a CPU hog), and contention ruins the A/B's wall
+# measurements anyway — the TPU arms below supersede them. Preempt by
+# EXACT pid-file pid only (never by pattern; CLAUDE.md).
+for pf in /tmp/compab_cpu.pid /tmp/bucket_ab_cpu.pid; do
+  if [ -f "$pf" ] && kill -0 "$(cat "$pf")" 2>/dev/null; then
+    echo "[campaign] preempting CPU fallback job pid $(cat "$pf") ($pf)" >> $LOG
+    kill "$(cat "$pf")" 2>/dev/null
+    rm -f "$pf"
+  fi
+done
+
 run_stage() {
   local name="$1"; shift
   if [ -f "work/r4-stamps/$name" ]; then
