@@ -262,6 +262,47 @@ def _rearm_watchdog(root=None) -> None:
     log(f"bench: re-armed campaign watchdog pid {p.pid}")
 
 
+def _snapshot_grid_progress(root=None) -> None:
+    """Refresh GRID_r04.json from the live grid manifests at round end.
+
+    The campaign's own snapshot_grid (scripts/run_r4_campaign.sh) only
+    runs at stage boundaries, so a round-end kill mid-stage would leave
+    GRID_r04.json stale while the content-addressed manifests already
+    hold the progress. Mirrors the campaign's job list; skipped on any
+    error — the stage-boundary snapshot remains the floor."""
+    import subprocess
+    from pathlib import Path
+
+    root = Path(root) if root else Path(__file__).resolve().parent
+    jobs = [(fam, ["--family", fam])
+            for fam in ("transformer", "lstm", "gru")]
+    jobs += [("transformer_200_emb128",
+              ["--workdir", "work/full-grid-200-emb128",
+               "--emb-subset", "128"]),
+             ("transformer_hard",
+              ["--workdir", "work/full-grid-transformer-hard"])]
+    out = {}
+    for name, extra in jobs:
+        try:
+            r = subprocess.run(
+                [sys.executable, "scripts/summarize_grid_progress.py"]
+                + extra, capture_output=True, text=True, timeout=300,
+                cwd=str(root))
+            if r.returncode == 0:
+                out[name] = json.loads(r.stdout)
+        except Exception:
+            continue
+    if out:
+        out["snapshot_note"] = ("bench round-end refresh from live "
+                                "manifests, "
+                                + time.strftime("%Y-%m-%d %H:%M:%S"))
+        try:
+            (root / "GRID_r04.json").write_text(json.dumps(out, indent=1))
+            log("bench: refreshed GRID_r04.json from manifests")
+        except OSError:
+            pass
+
+
 def main() -> None:
     try:
         _main()
@@ -269,6 +310,7 @@ def main() -> None:
         # Hand the tunnel back to the campaign once the capture is done
         # (or failed) — unfinished stages then resume unattended.
         if os.environ.get("BENCH_SMALL") != "1":
+            _snapshot_grid_progress()
             _rearm_watchdog()
 
 
