@@ -119,7 +119,32 @@ def _preempt_tunnel_holders():
     holders.sort(key=lambda pc: ("wait_tpu" not in pc[1],
                                  "campaign" not in pc[1]))
     for pid, cmd in holders:
-        log(f"bench: preempting tunnel holder pid {pid}: {cmd[:120]}")
+        # Progress guard (VERDICT r4 #8): before killing, read the
+        # holder's sidecar (utils/holder.register_holder) and log what
+        # is preserved — a manifest-resumable grid loses nothing; an
+        # A/B flushes per-arm partials, so at most the in-flight arm is
+        # lost. Round-4's silent total loss (compab_cpu.out: 0 bytes
+        # after ~1 h) is structurally impossible for registered
+        # holders, and unregistered ones are loudly flagged.
+        try:
+            from sign_language_nlp_tpu.utils.holder import (
+                partial_count, read_sidecar)
+
+            sc = read_sidecar(pid)
+        except Exception:
+            sc = None
+        if sc and sc.get("resumable"):
+            log(f"bench: preempting pid {pid} (resumable — manifest "
+                f"preserves all finished work): {cmd[:100]}")
+        elif sc and sc.get("partials"):
+            n = partial_count(sc["partials"])
+            log(f"bench: preempting pid {pid} ({n} partial result(s) "
+                f"preserved at {sc['partials']}; only the in-flight "
+                f"arm is lost): {cmd[:100]}")
+        else:
+            log(f"bench: WARNING preempting UNREGISTERED holder pid "
+                f"{pid} — its in-memory results (if any) will be LOST: "
+                f"{cmd[:120]}")
         try:
             os.kill(pid, signal.SIGTERM)
         except OSError:
@@ -150,9 +175,18 @@ def _preempt_tunnel_holders():
 def _probe_device(wait_s: float) -> bool:
     """Check the backend comes up (the axon tunnel flaps for hours at a
     time) in a SUBPROCESS with a timeout, so a wedged tunnel cannot hang
-    the bench itself. Retries until wait_s elapses."""
+    the bench itself. Retries until wait_s elapses.
+
+    BENCH_FORCE_PROBE_FAIL=1 short-circuits to failure: the CI test of
+    the error-JSON path sets it, because env tricks (JAX_PLATFORMS=
+    nonexistent) are overridden by the axon sitecustomize — with the
+    tunnel UP the probe would succeed and the test would run a real
+    TPU workload alongside whatever holds the tunnel."""
     import subprocess
 
+    if os.environ.get("BENCH_FORCE_PROBE_FAIL") == "1":
+        log("bench: probe failure forced (BENCH_FORCE_PROBE_FAIL=1)")
+        return False
     deadline = time.time() + wait_s
     attempt = 0
     while True:
@@ -172,6 +206,31 @@ def _probe_device(wait_s: float) -> bool:
         if time.time() >= deadline:
             return False
         time.sleep(min(60, max(5, deadline - time.time())))
+
+
+# Per-chip peak dense-matmul FLOP/s by device-kind token, keyed like
+# the HBM table in search/driver.py (_HBM_GB_BY_KIND): exact tokens of
+# `device_kind`, not substrings. Public spec sheets; bf16 MXU peaks
+# (f32 runs at half MXU rate on most generations — tracked separately).
+_PEAK_FLOPS_BY_KIND = {
+    # token -> (bf16 peak, f32 peak)
+    "lite": (197e12, 98.5e12), "v5e": (197e12, 98.5e12),
+    "v5litepod": (197e12, 98.5e12),
+    "v5p": (459e12, 229.5e12),
+    "v4": (275e12, 137.5e12), "v4i": (138e12, 69e12),
+    "v3": (123e12, 61.5e12), "v2": (46e12, 23e12),
+    "v6e": (918e12, 459e12), "v6": (918e12, 459e12),
+}
+
+
+def _peak_flops(device_kind: str, dtype: str):
+    toks = device_kind.lower().replace("-", " ").split()
+    for tok in toks:
+        if tok in _PEAK_FLOPS_BY_KIND:
+            bf16, f32 = _PEAK_FLOPS_BY_KIND[tok]
+            return bf16 if str(dtype).startswith(("bfloat16",
+                                                  "float16")) else f32
+    return None
 
 
 def make_workload(small: bool):
@@ -443,6 +502,29 @@ def _main() -> None:
     epochs_per_hr = P * epochs / t_pop * 3600.0
     log(f"population fit median {t_pop:.2f}s (rep spread {spread:.1%}); "
         f"epochs/hr (population): {epochs_per_hr:.0f}")
+
+    # MFU (VERDICT r4 #6): XLA's analysis FLOPs for the compiled
+    # population epoch (train + eval, all P cells) x epochs, over the
+    # measured median wall and the chip's peak — an absolute
+    # utilization number, unlike the relative speedup above. The AOT
+    # compile hits the cache (same program the reps just ran).
+    mfu = flops_per_s = None
+    dev = jax.devices()[0]
+    peak = _peak_flops(dev.device_kind, dtype)
+    try:
+        task = TrainTask(train_rows=[tr] * P, valid_rows=[va] * P,
+                         lr=lrs, dropout=drops)
+        f_epoch = trainer.epoch_flops(n, data[0].shape[1], task)
+        if f_epoch:
+            flops_per_s = f_epoch * epochs / t_pop
+            if peak:
+                mfu = flops_per_s / peak
+                log(f"MFU: {mfu:.1%} ({flops_per_s / 1e12:.2f} TF/s of "
+                    f"{peak / 1e12:.0f} TF/s peak, {dev.device_kind}, "
+                    f"{dtype})")
+    except Exception as e:  # noqa: BLE001 — MFU is best-effort
+        log(f"MFU unavailable: {type(e).__name__}: {str(e)[:120]}")
+
     print(json.dumps({
         "metric": "population_speedup",
         "value": round(speedup, 3),
@@ -453,6 +535,10 @@ def _main() -> None:
         "pop_fit_rep_spread": round(spread, 4),
         "seq_cell_s_median": round(t_seq_each, 3),
         "n_seq_measured": n_seq,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "model_tflops_per_s": (round(flops_per_s / 1e12, 3)
+                               if flops_per_s else None),
+        "device_kind": dev.device_kind,
     }))
 
 

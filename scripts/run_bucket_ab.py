@@ -59,9 +59,15 @@ def main():
     from sign_language_nlp_tpu.models.registry import build_model
     from sign_language_nlp_tpu.training.engine import (
         PopulationTrainer, TrainConfig, TrainTask, plan_bucket_seqs_auto)
+    from sign_language_nlp_tpu.utils.holder import (
+        flush_partial, register_holder)
     from sign_language_nlp_tpu.utils.jaxtools import setup_compilation_cache
 
     setup_compilation_cache()
+    # Preemption contract (VERDICT r4 #5/#8): per-arm partials + sidecar.
+    partials = Path("work/ab-partials/bucketing.jsonl")
+    register_holder(partials=partials, resumable=False,
+                    note="bucket A/B — arms flushed per-completion")
 
     corpus = Path("work/synth-corpus-trimodal-small"
                   if args.small else "work/synth-corpus-trimodal")
@@ -132,9 +138,13 @@ def main():
         results[arm] = walls[-1]
         accs[arm] = round(float(np.asarray(
             out["history"]["valid_accuracy"])[-1].mean()), 4)
-        log(json.dumps({"arm": arm, "wall_s": round(walls[-1], 1),
-                        "cold_wall_s": round(walls[0], 1),
-                        "mean_valid_acc": accs[arm]}))
+        rec = {"arm": arm, "wall_s": round(walls[-1], 1),
+               "cold_wall_s": round(walls[0], 1),
+               "pop": P, "max_epochs": args.max_epochs, "emb": emb,
+               "corpus_rows": int(N), "auto_cuts": list(auto_cuts),
+               "mean_valid_acc": accs[arm]}
+        log(json.dumps(rec))
+        flush_partial(partials, rec)
 
     import jax
 

@@ -62,9 +62,17 @@ def main():
     from sign_language_nlp_tpu.models.registry import build_model
     from sign_language_nlp_tpu.training.engine import (
         PopulationTrainer, TrainConfig, TrainTask)
+    from sign_language_nlp_tpu.utils.holder import (
+        flush_partial, register_holder)
     from sign_language_nlp_tpu.utils.jaxtools import setup_compilation_cache
 
     setup_compilation_cache()
+    # Preemption contract (VERDICT r4 #5/#8): each arm's result is
+    # flushed to disk the moment it completes, and the sidecar tells
+    # the bench's preempt path where those partials live.
+    partials = Path("work/ab-partials/compaction.jsonl")
+    register_holder(partials=partials, resumable=False,
+                    note="compaction A/B — arms flushed per-completion")
 
     corpus = Path("work/synth-corpus-longtail-small"
                   if args.small else "work/synth-corpus-longtail")
@@ -148,11 +156,15 @@ def main():
         wall = walls[-1]
         epochs = np.asarray(out["epochs_run"])
         results[arm] = wall
-        log(json.dumps({
+        rec = {
             "arm": arm, "wall_s": round(wall, 1),
             "cold_wall_s": round(walls[0], 1),
+            "pop": P, "max_epochs": args.max_epochs, "emb": emb,
+            "corpus_rows": int(N),
             "epochs_run": epochs.tolist(),
-            "stopped": np.asarray(out["monitor"].stopped).tolist()}))
+            "stopped": np.asarray(out["monitor"].stopped).tolist()}
+        log(json.dumps(rec))
+        flush_partial(partials, rec)
 
     import jax
 

@@ -131,10 +131,16 @@ def main():
     from scripts.run_reference_scale_group import FIELDS
     from sign_language_nlp_tpu.pipeline import run
     from sign_language_nlp_tpu.utils import log, set_verbosity
+    from sign_language_nlp_tpu.utils.holder import register_holder
     from sign_language_nlp_tpu.utils.jaxtools import setup_compilation_cache
 
     setup_compilation_cache()
     set_verbosity(1)
+    # Preemption contract (VERDICT r4 #8): a SIGTERM'd grid loses
+    # nothing — finished cells live in the content-addressed manifest.
+    register_holder(resumable=True,
+                    note=f"grid runner {args.family} -> {args.workdir} "
+                         f"(manifest resume)")
 
     run_args = {
         "seed": 1, "debug": False, "cuda": False, "verbose": 1,

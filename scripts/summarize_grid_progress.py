@@ -66,6 +66,8 @@ def main():
                 if manifest_path.exists() else {})
     groups: dict = {}
     for key, rec in manifest.items():
+        if key == "__globals__":  # reserved trajectory-globals record
+            continue
         h, _fold = key.rsplit(":", 1)
         c = by_hash.get(h)
         if c is None:

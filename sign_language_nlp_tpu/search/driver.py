@@ -315,11 +315,41 @@ class GridSearchDriver:
             return f"{self.workdir}/{phase}_manifest.json"
         return f"{self.workdir}/{phase}_manifest.{pid}.json"
 
+    def _trajectory_globals(self) -> dict:
+        """Process-global knobs that change training trajectories (so a
+        manifest's cached cell results are only valid under the same
+        values). Recorded in the manifest under the reserved
+        ``__globals__`` key; a resume under different values is refused
+        (VERDICT r4 #7 — `prng_impl` changes the dropout bitstream, and
+        mixing threefry/rbg cells in one grid would corrupt selection)."""
+        import jax
+
+        return {
+            "prng_impl": str(jax.config.jax_default_prng_impl),
+            "compute_dtype":
+                str(self.precision_args.get("compute_dtype") or "float32"),
+        }
+
+    def _check_manifest_globals(self, recorded: dict, src: str) -> None:
+        current = self._trajectory_globals()
+        for k, want in current.items():
+            got = recorded.get(k)
+            if got is not None and got != want:
+                raise RuntimeError(
+                    f"manifest {src} was written under {k}={got!r} but "
+                    f"this process runs {k}={want!r} — resuming would mix "
+                    f"cells from different training trajectories. Either "
+                    f"restore the original setting (precision_args."
+                    f"{'prng_impl' if k == 'prng_impl' else k}={got!r}) "
+                    f"or start a fresh workdir.")
+
     def _load_manifest(self, phase: str) -> dict:
         """Merged view: the base manifest plus every per-process shard
         (multi-host runs write `<phase>_manifest.<pid>.json` into the
         shared workdir; merging is idempotent — cells are
-        content-addressed)."""
+        content-addressed). The reserved ``__globals__`` record is
+        validated against this process's trajectory globals and removed
+        from the cell view."""
         import glob
 
         merged: dict = {}
@@ -330,6 +360,9 @@ class GridSearchDriver:
             for shard in sorted(glob.glob(
                     f"{self.workdir}/{phase}_manifest.*.json")):
                 merged.update(read_json(shard))
+        recorded = merged.pop("__globals__", None)
+        if recorded is not None:
+            self._check_manifest_globals(recorded, src=phase)
         if merged:
             log(f"Resuming from manifest ({len(merged)} finished cells)...")
         return merged
@@ -338,7 +371,8 @@ class GridSearchDriver:
                         pid: Optional[int] = None) -> None:
         path = self._manifest_path(phase, pid)
         if path:
-            save_json(manifest, path)
+            save_json({**manifest,
+                       "__globals__": self._trajectory_globals()}, path)
 
     # ------------------------------------------------------------------
     def search(self, data, y: np.ndarray, grid: ParamGrid,

@@ -63,7 +63,11 @@ def test_probe_failure_emits_error_json():
     # traceback.
     env = dict(os.environ)
     env.pop("BENCH_SMALL", None)
-    env["JAX_PLATFORMS"] = "nonexistent-backend"
+    # JAX_PLATFORMS tricks are overridden by the axon sitecustomize, so
+    # with the tunnel UP the probe would succeed and this test would run
+    # a full TPU bench from CI (violating the one-client rule). Force
+    # the failure path explicitly instead.
+    env["BENCH_FORCE_PROBE_FAIL"] = "1"
     env["BENCH_TUNNEL_WAIT_S"] = "1"
     env["BENCH_NO_PREEMPT"] = "1"
     env["BENCH_REARM"] = "0"  # never spawn the real watchdog from CI

@@ -294,3 +294,54 @@ def test_wedged_session_raises_actionable_error(built_dataset):
                           scorer)
     finally:
         GridSearchDriver._run_chunk = real
+
+
+def test_manifest_records_and_enforces_trajectory_globals(tmp_path):
+    """VERDICT r4 #7: the manifest records process-global knobs that
+    change training trajectories (prng_impl, compute_dtype); a resume
+    under different values must refuse with an actionable error instead
+    of silently mixing cells from different dropout bitstreams."""
+    import jax
+    from sign_language_nlp_tpu.search import GridSearchDriver
+    from sign_language_nlp_tpu.training.engine import TrainConfig
+
+    def make_driver(precision_args):
+        return GridSearchDriver(
+            model_name="model.Transformer", src_vocab_size=8,
+            tgt_vocab_size=4, src_pad_idx=1, tgt_pad_idx=1,
+            train_config=TrainConfig(max_epochs=1, verbose=0),
+            workdir=str(tmp_path), precision_args=precision_args,
+            verbose=0)
+
+    d = make_driver({"compute_dtype": "bfloat16"})
+    d._flush_manifest("grid_search", {"abc:0": {"score": -0.1}})
+
+    # Same globals: resume loads the cell, strips the reserved record.
+    loaded = d._load_manifest("grid_search")
+    assert loaded == {"abc:0": {"score": -0.1}}
+
+    # Different compute_dtype: refused, actionably.
+    d32 = make_driver({"compute_dtype": "float32"})
+    with pytest.raises(RuntimeError, match="compute_dtype.*bfloat16"):
+        d32._load_manifest("grid_search")
+
+    # Different prng_impl: refused. Write a manifest claiming rbg while
+    # the process default is threefry (we don't flip the live global —
+    # that would leak into other tests).
+    cur = str(jax.config.jax_default_prng_impl)
+    other = "rbg" if cur != "rbg" else "threefry2x32"
+    import json as _json
+    p = tmp_path / "grid_search_manifest.json"
+    m = _json.loads(p.read_text())
+    m["__globals__"]["prng_impl"] = other
+    m["__globals__"]["compute_dtype"] = "bfloat16"
+    p.write_text(_json.dumps(m))
+    with pytest.raises(RuntimeError, match="prng_impl"):
+        d._load_manifest("grid_search")
+
+    # Legacy manifest without the record: accepted (backward compat),
+    # and the next flush stamps it.
+    p.write_text(_json.dumps({"abc:0": {"score": -0.1}}))
+    assert d._load_manifest("grid_search") == {"abc:0": {"score": -0.1}}
+    d._flush_manifest("grid_search", {"abc:0": {"score": -0.1}})
+    assert "__globals__" in _json.loads(p.read_text())
