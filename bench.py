@@ -47,7 +47,7 @@ _TUNNEL_HOLDERS = (
     "run_full_grid.py", "run_compaction_ab.py", "run_bucket_ab.py",
     "run_bucketing_ab.py", "run_reference_scale_group.py",
     "run_full_shape_experiment.py", "run_torch_workload_ab.py",
-    "run_r4_campaign.sh", "wait_tpu_and_run_grid.sh",
+    "run_r4_campaign.sh", "run_r5_campaign.sh", "wait_tpu_and_run_grid.sh",
 )
 
 # Only processes EXECUTING a holder script are holders. An editor or
@@ -254,21 +254,21 @@ def make_workload(small: bool):
     return (tokens, lengths, labels), vs, vt, margs
 
 
-# The campaign's stage stamps — parsed from scripts/run_r4_campaign.sh
+# The campaign's stage stamps — parsed from scripts/run_r5_campaign.sh
 # (`run_stage <name> ...` lines) so a stage added there is automatically
 # covered by the re-arm check; the literal is only a fallback for a
 # missing/unreadable script. When any stamp is missing, device work
 # remains and the watchdog is worth re-arming after the round-end
 # capture so stages resume during inter-round idle time.
 _CAMPAIGN_STAGES_FALLBACK = (
-    "grid-transformer", "compact-ab", "bucket-ab", "grid-200-emb128",
-    "grid-gru", "grid-lstm", "grid-transformer-hard")
+    "compact-ab", "bucket-ab", "grid-transformer", "grid-gru",
+    "grid-lstm", "grid-200-emb128")
 
 
 def _campaign_stages(root):
     import re
 
-    script = root / "scripts" / "run_r4_campaign.sh"
+    script = root / "scripts" / "run_r5_campaign.sh"
     try:
         names = re.findall(r"^run_stage\s+([\w-]+)", script.read_text(),
                            re.MULTILINE)
@@ -290,7 +290,7 @@ def _rearm_watchdog(root=None) -> None:
     script = root / "scripts" / "wait_tpu_and_run_grid.sh"
     if not script.exists():
         return
-    stamps = root / "work" / "r4-stamps"
+    stamps = root / "work" / "r5-stamps"
     if all((stamps / s).exists() for s in _campaign_stages(root)):
         log("bench: campaign fully stamped - no watchdog re-arm needed")
         return
@@ -322,44 +322,29 @@ def _rearm_watchdog(root=None) -> None:
 
 
 def _snapshot_grid_progress(root=None) -> None:
-    """Refresh GRID_r04.json from the live grid manifests at round end.
+    """Refresh GRID_r05.json from the live grid manifests at round end.
 
-    The campaign's own snapshot_grid (scripts/run_r4_campaign.sh) only
+    The campaign's own snapshot step (scripts/run_r5_campaign.sh) only
     runs at stage boundaries, so a round-end kill mid-stage would leave
-    GRID_r04.json stale while the content-addressed manifests already
-    hold the progress. Mirrors the campaign's job list; skipped on any
-    error — the stage-boundary snapshot remains the floor."""
+    GRID_r05.json stale while the content-addressed manifests already
+    hold the progress. Delegates to the shared job list in
+    scripts/snapshot_grid_progress.py; skipped on any error — the
+    stage-boundary snapshot remains the floor."""
     import subprocess
     from pathlib import Path
 
     root = Path(root) if root else Path(__file__).resolve().parent
-    jobs = [(fam, ["--family", fam])
-            for fam in ("transformer", "lstm", "gru")]
-    jobs += [("transformer_200_emb128",
-              ["--workdir", "work/full-grid-200-emb128",
-               "--emb-subset", "128"]),
-             ("transformer_hard",
-              ["--workdir", "work/full-grid-transformer-hard"])]
-    out = {}
-    for name, extra in jobs:
-        try:
-            r = subprocess.run(
-                [sys.executable, "scripts/summarize_grid_progress.py"]
-                + extra, capture_output=True, text=True, timeout=300,
-                cwd=str(root))
-            if r.returncode == 0:
-                out[name] = json.loads(r.stdout)
-        except Exception:
-            continue
-    if out:
-        out["snapshot_note"] = ("bench round-end refresh from live "
-                                "manifests, "
-                                + time.strftime("%Y-%m-%d %H:%M:%S"))
-        try:
-            (root / "GRID_r04.json").write_text(json.dumps(out, indent=1))
-            log("bench: refreshed GRID_r04.json from manifests")
-        except OSError:
-            pass
+    try:
+        r = subprocess.run(
+            [sys.executable, "scripts/snapshot_grid_progress.py"],
+            capture_output=True, text=True, timeout=1200, cwd=str(root))
+        if r.returncode == 0:
+            log("bench: refreshed GRID_r05.json from manifests")
+        else:
+            log(f"bench: grid snapshot failed rc={r.returncode}: "
+                f"{r.stderr.strip()[-200:]}")
+    except Exception as e:
+        log(f"bench: grid snapshot failed: {type(e).__name__}")
 
 
 def main() -> None:

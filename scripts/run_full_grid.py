@@ -82,6 +82,11 @@ def main():
                     choices=sorted(FAMILIES))
     ap.add_argument("--max-epochs", type=int, default=40)
     ap.add_argument("--patience", type=int, default=10)
+    ap.add_argument("--cv", type=int, default=5,
+                    help="number of CV folds (reference: 5). The 200/30 "
+                         "tier re-scopes with --cv 2 when the projected "
+                         "wall exceeds the tunnel budget (VERDICT r4 "
+                         "weak #5)")
     ap.add_argument("--max-population", type=int, default=32)
     ap.add_argument("--workdir", default=None,
                     help="default: the family's fixed workdir "
@@ -144,7 +149,7 @@ def main():
 
     run_args = {
         "seed": 1, "debug": False, "cuda": False, "verbose": 1,
-        "n_jobs": -1, "cv": 5, "lr": None,
+        "n_jobs": -1, "cv": args.cv, "lr": None,
         "scoring": ["neg_log_loss", "accuracy", "precision_weighted",
                     "recall_weighted", "f1_weighted"],
         "max_epochs": args.max_epochs, "batch_size": 50,
@@ -201,8 +206,8 @@ def main():
         for row in csv.DictReader(f):
             key = tuple(row[c] for c in shape_cols)
             g = groups.setdefault(key, {"fit_s": 0.0, "n": 0})
-            g["fit_s"] += float(row["mean_fit_time"]) * 5
-            g["n"] += 5
+            g["fit_s"] += float(row["mean_fit_time"]) * args.cv
+            g["n"] += args.cv
     # Key names match summarize_grid_progress.py / GRID_r0N.json rows
     # ("ffn" for hidden_size) so the artifacts join cleanly.
     names = ["emb", "ffn", "layers", "heads"][: len(shape_cols)]

@@ -1,0 +1,70 @@
+"""Refresh GRID_r05.json from whatever grid manifests exist on disk.
+
+Shared by the campaign driver (stage boundaries) and bench.py (round
+end), so the progress record lands even if a stage — or the round —
+dies mid-grid: the content-addressed manifests are the ground truth
+and this is just their summary. Families whose manifest is missing get
+a zero-progress section showing the planned scope (the round-4 lesson:
+"armed" stages must be visible as 0/N, not absent).
+
+Run:  python scripts/snapshot_grid_progress.py [--out GRID_r05.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+# (section name, summarize_grid_progress.py args). The transformer
+# family's default workdir runs on the hard corpus this round (see
+# scripts/run_r5_campaign.sh stage 2).
+JOBS = (
+    ("transformer", ["--family", "transformer"]),
+    ("lstm", ["--family", "lstm"]),
+    ("gru", ["--family", "gru"]),
+    ("transformer_200_emb128",
+     ["--workdir", "work/full-grid-200-emb128", "--emb-subset", "128"]
+     + (["--cv", os.environ["R5_200_CV"]]
+        if os.environ.get("R5_200_CV") else [])),
+)
+
+
+def snapshot(out_path: str = "GRID_r05.json") -> dict:
+    out = {}
+    for name, extra in JOBS:
+        try:
+            r = subprocess.run(
+                [sys.executable, "scripts/summarize_grid_progress.py"]
+                + extra, capture_output=True, text=True, timeout=300,
+                cwd=str(ROOT))
+            if r.returncode == 0:
+                out[name] = json.loads(r.stdout)
+        except Exception:
+            continue
+    if out:
+        out["snapshot_note"] = (
+            "round-5 campaign snapshot from live manifests, "
+            + time.strftime("%Y-%m-%d %H:%M:%S")
+            + "; transformer/lstm/gru run on work/synth-corpus-hard "
+              "(non-saturating metrics, VERDICT r4 weak #3)")
+        (ROOT / out_path).write_text(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="GRID_r05.json")
+    args = ap.parse_args()
+    res = snapshot(args.out)
+    print(f"wrote {args.out}: "
+          + ", ".join(f"{k}={v['total']['cells_done']}/"
+                      f"{v['total']['cells_total']}"
+                      for k, v in res.items() if isinstance(v, dict)
+                      and "total" in v),
+          file=sys.stderr)

@@ -29,6 +29,9 @@ def main():
                     choices=sorted(FAMILIES))
     ap.add_argument("--workdir", default=None,
                     help="default: the family's fixed workdir")
+    ap.add_argument("--cv", type=int, default=5,
+                    help="folds per candidate (the 200/30 tier may be "
+                         "re-scoped to fewer — VERDICT r4 weak #5)")
     ap.add_argument("--emb-subset", default=None,
                     help="comma list of embedding sizes the run was "
                          "restricted to (mirrors run_full_grid.py) — "
@@ -84,7 +87,7 @@ def main():
 
     # Fits per complete group: in-group candidates (lr x dropout [x
     # heads' sibling axes] sharing the shape) x 5 folds.
-    per_group_fits = len(candidates) * 5 // n_groups_total
+    per_group_fits = len(candidates) * args.cv // n_groups_total
     rows = sorted(
         ({"emb": k[0], "ffn": k[1], "layers": k[2],
           **({"heads": k[3]} if has_heads else {}),
@@ -94,7 +97,7 @@ def main():
         key=lambda r: -r["fit_s"])
     total = {"family": args.family,
              "cells_done": sum(g["fits"] for g in groups.values()),
-             "cells_total": len(candidates) * 5,
+             "cells_total": len(candidates) * args.cv,
              "groups_started": len(groups),
              "groups_total": n_groups_total,
              "groups_complete": sum(1 for g in groups.values()

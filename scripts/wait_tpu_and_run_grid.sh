@@ -4,8 +4,8 @@
 # backend-init error (flapping tunnel), fall back to probing instead of
 # giving up — round-4 log showed a probe succeed and the grid fail 60 s
 # later on "Unable to initialize backend 'axon'".
-# Logs to work/full-grid-r4.log. Runs the round-4 campaign chain
-# (scripts/run_r4_campaign.sh — stage stamps make relaunches skip
+# Logs to work/full-grid-r5.log. Runs the round-5 campaign chain
+# (scripts/run_r5_campaign.sh — stage stamps make relaunches skip
 # finished stages).
 cd /root/repo
 # WATCHDOG_DELAY_S: initial quiet period before the first probe. The
@@ -19,28 +19,28 @@ if [ -n "$WATCHDOG_DELAY_S" ]; then
 fi
 for i in $(seq 1 400); do
   if timeout 180 python -c "import jax; d=jax.devices(); print('TPU OK:', d[0].device_kind)" >> work/tpu-probe.log 2>&1; then
-    echo "[watchdog] tunnel up after $i probes, launching campaign $(date)" >> work/full-grid-r4.log
+    echo "[watchdog] tunnel up after $i probes, launching campaign $(date)" >> work/full-grid-r5.log
     START=$(date +%s)
-    bash scripts/run_r4_campaign.sh >> work/full-grid-r4.out 2>> work/full-grid-r4.log
+    bash scripts/run_r5_campaign.sh >> work/full-grid-r5.out 2>> work/full-grid-r5.log
     RC=$?
     ELAPSED=$(( $(date +%s) - START ))
-    echo "EXIT: $RC after ${ELAPSED}s $(date)" >> work/full-grid-r4.log
+    echo "EXIT: $RC after ${ELAPSED}s $(date)" >> work/full-grid-r5.log
     if [ $RC -eq 0 ]; then
       exit 0
     fi
     # Quick failure => tunnel flapped during startup; keep probing.
     if [ $ELAPSED -lt 900 ]; then
-      echo "[watchdog] quick failure (${ELAPSED}s) — resuming probe loop" >> work/full-grid-r4.log
+      echo "[watchdog] quick failure (${ELAPSED}s) — resuming probe loop" >> work/full-grid-r5.log
       sleep 120
       continue
     fi
     # Long run that failed: stamps + manifests make relaunch a resume.
-    echo "[watchdog] long run failed after ${ELAPSED}s — retrying via stamps/manifest resume" >> work/full-grid-r4.log
+    echo "[watchdog] long run failed after ${ELAPSED}s — retrying via stamps/manifest resume" >> work/full-grid-r5.log
     sleep 60
     continue
   fi
   echo "[watchdog] probe $i failed $(date)" >> work/tpu-probe.log
   sleep 120
 done
-echo "[watchdog] gave up after 400 probes" >> work/full-grid-r4.log
+echo "[watchdog] gave up after 400 probes" >> work/full-grid-r5.log
 exit 1
