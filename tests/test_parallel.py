@@ -151,6 +151,8 @@ def test_driver_partitions_cells_across_processes(tmp_path, monkeypatch):
 
     shards = [json.loads(Path(shared, f"grid_search_manifest.{i}.json")
                          .read_text()) for i in (0, 1)]
+    for sh in shards:  # each shard carries the reserved globals record
+        assert sh.pop("__globals__")["prng_impl"]
     assert len(shards[0]) + len(shards[1]) == 6
     assert abs(len(shards[0]) - len(shards[1])) <= 1
     assert not set(shards[0]) & set(shards[1])

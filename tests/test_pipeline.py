@@ -113,6 +113,7 @@ def test_manifest_resume(pipeline_result, asl_corpus_dir):
     workdir, result = pipeline_result
     with open(os.path.join(workdir, "grid_search_manifest.json")) as f:
         manifest = json.load(f)
+    assert manifest.pop("__globals__")["compute_dtype"]  # reserved rec
     assert len(manifest) == 4  # 2 candidates x 2 folds
     for rec in manifest.values():
         assert "score" in rec and "epochs" in rec
