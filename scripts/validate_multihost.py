@@ -144,6 +144,8 @@ def main() -> None:
     for i in range(N_PROC):
         shard = json.loads(Path(
             workdir, f"grid_search_manifest.{i}.json").read_text())
+        # Every shard carries the reserved trajectory-globals record:
+        assert shard.pop("__globals__")["prng_impl"]
         shard_sizes.append(len(shard))
     assert sum(shard_sizes) == n_cells, shard_sizes
     assert max(shard_sizes) - min(shard_sizes) <= 1, shard_sizes
