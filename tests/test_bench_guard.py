@@ -96,7 +96,7 @@ def test_rearm_gating(tmp_path, monkeypatch):
     (tmp_path / "scripts").mkdir()
     (tmp_path / "scripts" / "wait_tpu_and_run_grid.sh").write_text(
         "#!/bin/sh\nexit 0\n")
-    stamps = tmp_path / "work" / "r4-stamps"
+    stamps = tmp_path / "work" / "r5-stamps"
     stamps.mkdir(parents=True)
     # No campaign script under tmp_path -> the fallback stage list is
     # what _rearm_watchdog checks against.
@@ -109,3 +109,29 @@ def test_rearm_gating(tmp_path, monkeypatch):
             AssertionError("must not spawn when fully stamped")))
     bench._rearm_watchdog(tmp_path)
     assert not spawned
+
+
+def test_holder_sidecar_and_partials(tmp_path, monkeypatch):
+    """utils/holder: the preemption contract (VERDICT r4 #5/#8) —
+    register/read sidecars and fsync'd per-arm partials."""
+    from sign_language_nlp_tpu.utils import holder
+
+    monkeypatch.setattr(holder, "sidecar_path",
+                        lambda pid=None: tmp_path / f"sc_{pid or 0}.json")
+    p = holder.register_holder(partials=tmp_path / "arms.jsonl",
+                               resumable=False, note="test")
+    sc = holder.read_sidecar(0)
+    assert sc["partials"].endswith("arms.jsonl")
+    assert sc["resumable"] is False and sc["pid"] == os.getpid()
+
+    assert holder.partial_count(tmp_path / "arms.jsonl") == 0
+    holder.flush_partial(tmp_path / "arms.jsonl", {"arm": "flat", "s": 1})
+    holder.flush_partial(tmp_path / "arms.jsonl", {"arm": "c", "s": 2})
+    assert holder.partial_count(tmp_path / "arms.jsonl") == 2
+    recs = [json.loads(l) for l in
+            (tmp_path / "arms.jsonl").read_text().splitlines()]
+    assert [r["arm"] for r in recs] == ["flat", "c"]
+
+    # A dead/missing sidecar reads as None, not an exception:
+    assert holder.read_sidecar(999999999) is None
+    p.unlink()
