@@ -348,6 +348,16 @@ def _snapshot_grid_progress(root=None) -> None:
 
 
 def main() -> None:
+    # Advertise the bench run via a pidfile so JAX-free supervisors
+    # (scripts/supervise_r5_campaign.sh) never relaunch the campaign
+    # while the bench holds the tunnel (one JAX client, CLAUDE.md).
+    # Written BEFORE preemption starts so there is no window in which
+    # the campaign is dead but the bench looks absent.
+    try:
+        with open("/tmp/bench.pid", "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
     try:
         _main()
     finally:
@@ -356,6 +366,10 @@ def main() -> None:
         if os.environ.get("BENCH_SMALL") != "1":
             _snapshot_grid_progress()
             _rearm_watchdog()
+        try:
+            os.unlink("/tmp/bench.pid")
+        except OSError:
+            pass
 
 
 def _main() -> None:

@@ -135,3 +135,53 @@ def test_holder_sidecar_and_partials(tmp_path, monkeypatch):
     # A dead/missing sidecar reads as None, not an exception:
     assert holder.read_sidecar(999999999) is None
     p.unlink()
+
+
+def _run_supervisor(tmp_path, stamps=(), pidfiles=(), polls=1):
+    """Run the JAX-free campaign supervisor against a faked root."""
+    root = tmp_path / "root"
+    piddir = tmp_path / "pids"
+    (root / "work" / "r5-stamps").mkdir(parents=True, exist_ok=True)
+    piddir.mkdir(exist_ok=True)
+    for s in stamps:
+        (root / "work" / "r5-stamps" / s).write_text("")
+    for name, pid in pidfiles:
+        (piddir / name).write_text(str(pid))
+    env = dict(os.environ, SUP_ROOT=str(root), SUP_PIDDIR=str(piddir),
+               SUP_POLLS=str(polls), SUP_SLEEP="0", SUP_DRYRUN="1")
+    r = subprocess.run(
+        ["bash", os.path.join(os.path.dirname(bench.__file__),
+                              "scripts", "supervise_r5_campaign.sh")],
+        env=env, capture_output=True, text=True, timeout=60)
+    log = root / "work" / "r5-supervisor.log"
+    return r, log.read_text() if log.exists() else ""
+
+
+_ALL_STAMPS = ("compact-ab", "bucket-ab", "grid-transformer",
+               "grid-gru", "grid-lstm", "grid-200-emb128")
+
+
+def test_supervisor_exits_when_all_stamped(tmp_path):
+    r, log = _run_supervisor(tmp_path, stamps=_ALL_STAMPS)
+    assert r.returncode == 0
+    assert "all stages stamped" in log
+    assert "arming watchdog" not in log
+
+
+def test_supervisor_defers_to_live_campaign(tmp_path):
+    # A pidfile pointing at a live process (ourselves) means the
+    # campaign/bench/watchdog owns the tunnel — no relaunch.
+    for name in ("bench.pid", "watchdog.pid", "r5_campaign.pid"):
+        r, log = _run_supervisor(
+            tmp_path, stamps=("compact-ab",),
+            pidfiles=[(name, os.getpid())])
+        assert "arming watchdog" not in log, name
+
+
+def test_supervisor_arms_watchdog_when_everything_dead(tmp_path):
+    # Stale pidfile (dead pid) + unstamped stages -> relaunch path.
+    r, log = _run_supervisor(
+        tmp_path, stamps=("compact-ab",),
+        pidfiles=[("r5_campaign.pid", 999999999)])
+    assert "arming watchdog" in log
+    assert "DRYRUN: would arm watchdog" in log
