@@ -43,3 +43,36 @@ def test_emb_subset_restricts_planned_scope(tmp_path, monkeypatch, capsys):
         "--workdir", str(tmp_path / "nonexistent"), "--emb-subset", "128"])
     assert out["total"]["cells_total"] == 540
     assert out["total"]["groups_total"] == 18
+
+
+def test_snapshot_joins_e2e_summary(tmp_path, monkeypatch):
+    # When a stage finished end-to-end (run_full_grid.py wrote
+    # full_grid_summary.json: grid + refit + held-out test), the
+    # snapshot joins its test metrics under the family's "e2e" key so
+    # GRID_r05.json alone carries the selection outcome.
+    import subprocess as sp
+
+    import scripts.snapshot_grid_progress as sgp
+
+    (tmp_path / "work" / "full-grid-transformer").mkdir(parents=True)
+    (tmp_path / "work" / "full-grid-transformer" /
+     "full_grid_summary.json").write_text(json.dumps({
+         "wall_s": 1234.5, "max_epochs": 40, "patience": 10,
+         "test": {"accuracy": 0.91}, "heaviest_groups": []}))
+
+    fake = json.dumps({"total": {"cells_done": 1620,
+                                 "cells_total": 1620}, "per_group": []})
+
+    class R:
+        returncode = 0
+        stdout = fake
+
+    monkeypatch.setattr(sgp, "ROOT", tmp_path)
+    monkeypatch.setattr(sp, "run", lambda *a, **k: R())
+    out = sgp.snapshot(out_path="GRID_test.json")
+    assert out["transformer"]["e2e"]["test"] == {"accuracy": 0.91}
+    assert out["transformer"]["e2e"]["wall_s"] == 1234.5
+    # Stages without a summary have no e2e key (still in flight):
+    assert "e2e" not in out["lstm"]
+    written = json.loads((tmp_path / "GRID_test.json").read_text())
+    assert written["transformer"]["e2e"]["max_epochs"] == 40
